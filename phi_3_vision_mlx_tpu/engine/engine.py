@@ -1,0 +1,333 @@
+"""Generation engine: jitted prefill + chunked decode over a DecodeState.
+
+The reference decode loop (/root/reference/phi_3_vision_mlx.py:376-409) pays
+one lazy-graph sync per generated token (``mx.eval`` at :387,:393).  The TPU
+engine instead:
+
+* compiles one **prefill** function per (batch, prompt-bucket, window) and
+  one **decode-chunk** function per (batch, window, chunk) — prompt lengths
+  are bucketed (left-padding more, which is exactly the reference's batch
+  padding semantics, phi.py:233-245) so a handful of compilations serve all
+  prompts;
+* decodes ``CHUNK`` tokens per device call with an on-device ``lax.scan``
+  (argmax feeding back), returning the tokens plus the per-step logit
+  statistics the host-side stoppers need — dispatch overhead is amortized
+  ``CHUNK``-fold and the host never sees full logits;
+* donates the DecodeState so XLA updates the KV cache in place.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.config import ID_EOS, ModelConfig
+from ..models import phi3
+from ..utils.timing import Tic
+from .stream import LogitStopper, Streamer, TokenStopper
+
+PROMPT_BUCKET = 64
+WINDOW_BUCKET = 64
+DECODE_CHUNK = 8
+PREFILL_CHUNK = 512
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class LM:
+    """A loaded model: config + params + a cache of compiled step functions.
+
+    This is the object returned by ``load()`` (the reference returns an MLX
+    ``nn.Module``; ours is an immutable bundle — all mutation lives in
+    DecodeState values).
+    """
+
+    def __init__(self, cfg: ModelConfig, params: dict, model_path: Optional[str] = None):
+        self.cfg = cfg
+        self.params = params
+        self.model_path = model_path
+        self.eos_id = ID_EOS if cfg.vocab_size > ID_EOS else cfg.vocab_size - 1
+        self._fns = {}
+
+    # -- compiled-function factory ------------------------------------------
+
+    def _fn(self, key, builder, donate=()):
+        if key not in self._fns:
+            self._fns[key] = jax.jit(builder(), donate_argnums=donate)
+        return self._fns[key]
+
+    def prefill_fn(self, b: int, l: int, window: int, embeds: bool = False):
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids_or_embeds, pids, valid):
+                res = phi3.prefill(
+                    params,
+                    cfg,
+                    None if embeds else ids_or_embeds,
+                    max_tokens=window - l,
+                    pids=pids,
+                    prompt_valid=valid,
+                    inputs_embeds=ids_or_embeds if embeds else None,
+                )
+                return res.logits[:, -1, :].astype(jnp.float32), res.state
+
+            return f
+
+        return self._fn(("prefill", b, l, window, embeds), build)
+
+    def extend_fn(self, b: int, l: int, window: int):
+        """Feed an additional committed prompt chunk (chunked prefill)."""
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids, state):
+                res = phi3.decode_forward(params, cfg, state, input_ids=ids)
+                return res.logits[:, -1, :].astype(jnp.float32), res.state
+
+            return f
+
+        return self._fn(("extend", b, l, window), build, donate=(2,))
+
+    def chunk_fn(self, b: int, window: int, n_steps: int):
+        cfg, eos_id = self.cfg, self.eos_id
+
+        def build():
+            def f(params, token, state):
+                def body(carry, _):
+                    tok, st = carry
+                    res = phi3.decode_forward(params, cfg, st, input_ids=tok)
+                    logits = res.logits[:, -1, :].astype(jnp.float32)
+                    lp = jax.nn.log_softmax(logits, axis=-1)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                    stats = (nxt[:, 0], lp.max(axis=-1), lp[:, eos_id])
+                    return (nxt, res.state), stats
+
+                (tok_f, st_f), (toks, maxlp, eoslp) = lax.scan(
+                    body, (token, state), None, length=n_steps
+                )
+                return tok_f, st_f, toks, maxlp, eoslp
+
+            return f
+
+        return self._fn(("chunk", b, window, n_steps), build, donate=(2,))
+
+    def score_fn(self, b: int, l: int, window: int, advance: Optional[int]):
+        """Score an L-token chunk, committing ``advance`` positions
+        (reference advance_offset calls, phi_3_vision_mlx.py:545,570)."""
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids, state):
+                res = phi3.decode_forward(
+                    params, cfg, state, input_ids=ids, advance=advance
+                )
+                lp = jax.nn.log_softmax(res.logits.astype(jnp.float32), axis=-1)
+                return lp, res.state
+
+            return f
+
+        return self._fn(("score", b, l, window, advance), build, donate=(2,))
+
+    def beam_fn(self, b: int, l: int, window: int, n_beam: int):
+        cfg = self.cfg
+
+        def build():
+            def f(params, beam_ids, state):
+                res = phi3.decode_forward(
+                    params, cfg, state, input_ids=beam_ids, n_beam=n_beam
+                )
+                return jax.nn.log_softmax(res.logits.astype(jnp.float32), axis=-1)
+
+            return f
+
+        return self._fn(("beam", b, l, window, n_beam), build)
+
+    def nocache_fn(self, b: int, l: int):
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids, pids, valid):
+                logits = phi3.forward_nocache(
+                    params, cfg, ids, pids=pids, prompt_valid=valid
+                )
+                return jax.nn.log_softmax(
+                    logits[:, -1, :].astype(jnp.float32), axis=-1
+                )
+
+            return f
+
+        return self._fn(("nocache", b, l), build)
+
+
+# ---------------------------------------------------------------------------
+# Input prep: bucket + left-pad (reference left-pad semantics, phi.py:233-245)
+# ---------------------------------------------------------------------------
+
+
+def pad_prompt_inputs(dict_input: dict, target_l: int):
+    """Left-pad (ids, pids, mask) numpy inputs to ``target_l`` columns."""
+    ids = np.asarray(dict_input["input_ids"])
+    b, l = ids.shape
+    pad = target_l - l
+    pids = np.asarray(
+        dict_input.get("pids")
+        if dict_input.get("pids") is not None
+        else np.tile(np.arange(l, dtype=np.int32), (b, 1))
+    )
+    mask = np.asarray(
+        dict_input.get("mask")
+        if dict_input.get("mask") is not None
+        else np.ones((b, l), np.int32)
+    )
+    if pad > 0:
+        ids = np.concatenate([np.zeros((b, pad), ids.dtype), ids], axis=1)
+        pids = np.concatenate([np.ones((b, pad), pids.dtype), pids], axis=1)
+        mask = np.concatenate([np.zeros((b, pad), mask.dtype), mask], axis=1)
+    return ids, pids, mask.astype(bool)
+
+
+def run_prefill(lm: LM, dict_input: dict, max_tokens: int, inputs_embeds=None):
+    """Bucketed (and, for long prompts, chunked) prefill.
+
+    Returns (last_logits (B,V) fp32 np, state, l_pad, window).
+    """
+    ids = np.asarray(dict_input["input_ids"])
+    b, l = ids.shape
+    l_pad = max(round_up(l, PROMPT_BUCKET), PROMPT_BUCKET)
+    window = round_up(l_pad + max(int(max_tokens), 1), WINDOW_BUCKET)
+    ids_p, pids_p, valid_p = pad_prompt_inputs(dict_input, l_pad)
+
+    if inputs_embeds is not None:
+        pad = l_pad - inputs_embeds.shape[1]
+        if pad > 0:
+            from ..ops.linear import embedding
+
+            pad_emb = embedding(
+                lm.params["model"]["embed_tokens"], jnp.zeros((b, pad), jnp.int32)
+            )
+            inputs_embeds = jnp.concatenate(
+                [pad_emb.astype(inputs_embeds.dtype), inputs_embeds], axis=1
+            )
+        fn = lm.prefill_fn(b, l_pad, window, embeds=True)
+        logits, state = fn(lm.params, inputs_embeds, jnp.asarray(pids_p), jnp.asarray(valid_p))
+        return logits, state, l_pad, window
+
+    if l_pad <= PREFILL_CHUNK:
+        fn = lm.prefill_fn(b, l_pad, window)
+        logits, state = fn(
+            lm.params, jnp.asarray(ids_p), jnp.asarray(pids_p), jnp.asarray(valid_p)
+        )
+        return logits, state, l_pad, window
+
+    # Chunked prefill: first chunk allocates the window, the rest extend it.
+    # (Flash-attention Pallas kernel will lift the per-chunk score cost.)
+    first = PREFILL_CHUNK
+    fn = lm.prefill_fn(b, first, window)
+    # Window must cover the full prompt: recreate state with full pids/valid.
+    from ..engine.state import init_state
+
+    state = init_state(
+        lm.cfg, b, l_pad, window,
+        pids=jnp.asarray(pids_p),
+        prompt_valid=jnp.asarray(valid_p),
+        compute_dtype=jnp.dtype(lm.cfg.dtype),
+    )
+    logits = None
+    pos = 0
+    while pos < l_pad:
+        n = min(PREFILL_CHUNK, l_pad - pos)
+        efn = lm.extend_fn(b, n, window)
+        logits, state = efn(lm.params, jnp.asarray(ids_p[:, pos : pos + n]), state)
+        pos += n
+    return logits, state, l_pad, window
+
+
+# ---------------------------------------------------------------------------
+# The generate loop (reference ``_generate``, phi_3_vision_mlx.py:376-409)
+# ---------------------------------------------------------------------------
+
+
+def generate_text(
+    lm: LM,
+    processor,
+    prompt,
+    images=None,
+    max_tokens: int = 512,
+    verbose: bool = True,
+    return_tps: bool = False,
+    early_stop=False,
+    stream: bool = True,
+    mute: bool = False,
+):
+    if images is not None and isinstance(prompt, list):
+        raise ValueError("Images cannot be provided when prompt is a list")
+    dict_input = processor(prompt, images)
+    b = int(np.asarray(dict_input["input_ids"]).shape[0])
+
+    inputs_embeds = None
+    if dict_input.get("pixel_values") is not None:
+        from ..models.vision import compute_inputs_embeds
+
+        inputs_embeds = compute_inputs_embeds(lm.params, lm.cfg, dict_input)
+
+    logit_stopper = LogitStopper(max_tokens, early_stop)
+    token_stopper = TokenStopper(b, lm.eos_id)
+    streamer = Streamer(processor.tokenizer, stream, mute)
+
+    tic = Tic()
+    last_logits, state, l_pad, window = run_prefill(
+        lm, dict_input, max_tokens, inputs_embeds=inputs_embeds
+    )
+    token = np.argmax(jax.device_get(last_logits), axis=-1).astype(np.int32)[:, None]
+    streamer(token)
+    prompt_time = tic()
+
+    n_emitted = 1
+    tok_dev = jnp.asarray(token)
+    stop = False
+    while n_emitted < max_tokens and not stop:
+        n_steps = min(DECODE_CHUNK, max_tokens - n_emitted)
+        fn = lm.chunk_fn(b, window, n_steps)
+        tok_dev, state, toks, maxlp, eoslp = fn(lm.params, tok_dev, state)
+        toks = jax.device_get(toks)  # (n, B)
+        maxlp = jax.device_get(maxlp)
+        eoslp = jax.device_get(eoslp)
+        for i in range(n_steps):
+            # Host-side replay of the reference loop's checks, in its order
+            # (phi_3_vision_mlx.py:390-398): stream the token, then the logit
+            # stopper consumes the logits that *produced* it, then EOS check.
+            streamer(toks[i][:, None])
+            n_emitted += 1
+            if logit_stopper.update(float(maxlp[i, 0]), float(eoslp[i, 0]), b):
+                stop = True
+                break
+            if token_stopper.update(toks[i]):
+                stop = True
+                break
+            if n_emitted >= max_tokens:
+                break
+
+    result, gen_len = streamer.end()
+    gen_time = tic()
+    prompt_len = int(np.asarray(dict_input["input_ids"]).size)
+    prompt_tps = prompt_len / prompt_time
+    gen_tps = (gen_len - 1) / max(gen_time, 1e-9)
+    if verbose:
+        print(
+            f"\nPrompt: {prompt_tps:.2f} tokens-per-sec "
+            f"({prompt_len} tokens / {prompt_time:.1f} sec)"
+        )
+        print(
+            f"Generate: {gen_tps:.2f} tokens-per-sec "
+            f"({gen_len} tokens / {gen_time:.1f} sec)"
+        )
+    if return_tps:
+        return prompt_tps, gen_tps
+    return result

@@ -1,0 +1,110 @@
+"""Host-side streaming and stop criteria.
+
+Behavioral parity with the reference's ``Streamer`` / ``LogitStopper`` /
+``TokenStopper`` (/root/reference/phi_3_vision_mlx.py:45-117), adapted to a
+chunked decode loop: the device returns a chunk of tokens plus per-step logit
+statistics, and these classes consume them sequentially on the host.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+from ..core.config import ID_EOS
+
+
+class Streamer:
+    """Incremental detokenizer.
+
+    Stream mode (B=1): prints up to the last space as tokens arrive
+    (reference :60-65).  Batch mode: collects tokens, truncates each row at
+    its first EOS, batch-decodes (reference :72-77).
+    """
+
+    def __init__(self, tokenizer, stream: bool, mute: bool):
+        self.tokenizer = tokenizer
+        self.mute = mute
+        self.stream = stream and (not mute)
+        self.list_tokens: List = []
+        self.idx_sofar = 0
+
+    def __call__(self, token: np.ndarray):
+        """token: (B, 1) numpy int array."""
+        if not self.stream:
+            self.list_tokens.append(token)
+            return
+        if token.shape[0] > 1:
+            self.list_tokens.append(token)
+            self.stream = False
+            return
+        self.list_tokens.append(int(token[0, 0]))
+        txt = self.tokenizer.decode(self.list_tokens)
+        idx_split = txt.rfind(" ", self.idx_sofar)
+        if idx_split > 0:
+            print(txt[self.idx_sofar : idx_split], end="", flush=True)
+            self.idx_sofar = idx_split
+
+    def end(self):
+        if self.stream:
+            txt = self.tokenizer.decode(self.list_tokens)
+            print(txt[self.idx_sofar :], "\n", flush=True)
+            return txt, len(self.list_tokens)
+        arr = np.concatenate(self.list_tokens, axis=1)
+        rows = arr.tolist()
+        rows = [r[: r.index(ID_EOS) + 1] if ID_EOS in r else r for r in rows]
+        list_txt = self.tokenizer.batch_decode(rows)
+        if not self.mute:
+            for i, gen in enumerate(list_txt):
+                print(f"\n< Generated text for prompt #{i} >\n{gen}")
+        return list_txt, arr.size
+
+
+class LogitStopper:
+    """Early-stop heuristic (B=1 only): stop when the log-prob mass accrued
+    since the best-EOS-so-far falls below that EOS score (reference :79-104).
+
+    Consumes per-step scalars instead of full logits: ``log_prob_best`` (max
+    log-softmax) and ``log_prob_eos`` (log-softmax at EOS).
+    """
+
+    def __init__(self, max_tokens: int, early_stop):
+        self.step = 0
+        self.early_stop = (
+            early_stop if isinstance(early_stop, int) and early_stop < max_tokens else False
+        )
+        self.log_prob_sum = 0.0
+        self.best_eos_sofar = -math.inf
+        self.log_prob_sum_at_best_eos = 0.0
+
+    def update(self, log_prob_best: float, log_prob_eos: float, batch: int) -> bool:
+        if not self.early_stop:
+            return False
+        if batch > 1:
+            self.early_stop = False
+            return False
+        if log_prob_eos > self.best_eos_sofar:
+            since_best = self.log_prob_sum - self.log_prob_sum_at_best_eos
+            if (since_best < self.best_eos_sofar) and (self.step > self.early_stop):
+                return True
+            self.best_eos_sofar = log_prob_eos
+            self.log_prob_sum_at_best_eos = self.log_prob_sum
+        self.log_prob_sum += log_prob_best
+        self.step += 1
+        return False
+
+
+class TokenStopper:
+    """Stop when every row of the batch has emitted EOS (reference :106-117)."""
+
+    def __init__(self, batch_size: int, eos_id: int = ID_EOS):
+        self.eos_id = eos_id
+        self.eos_rows = np.ones(batch_size, bool)
+
+    def update(self, token: np.ndarray) -> bool:
+        """token: (B,) or (B,1)."""
+        tok = np.asarray(token).reshape(-1)
+        self.eos_rows &= tok != self.eos_id
+        return not self.eos_rows.any()

@@ -1,0 +1,123 @@
+"""Phi-3.5-vision image preprocessing — hd_transform multi-crop tiling.
+
+Numerics parity with the reference ``Phi3VImageProcessor``
+(/root/reference/phi.py:283-372): portrait images are transposed to
+landscape, scaled so the area is ~``num_crops`` 336x336 tiles (PIL bilinear),
+height white-padded to a multiple of 336, CLIP mean/std normalized; the
+global 336x336 view uses the reference's idiosyncratic 2-tap bicubic
+(``interpolate_336``).  The reference implements that bicubic as a quadruple
+Python loop (phi.py:365-371); here it is two dense matmuls
+``G_h @ img @ G_w^T`` built from the same weights/indices — identical output,
+orders of magnitude faster, and trivially JAX-friendly if moved on-device.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+
+def _cubic(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    ax2 = ax**2
+    ax3 = ax**3
+    return (1.5 * ax3 - 2.5 * ax2 + 1) * (ax <= 1) + (
+        -0.5 * ax3 + 2.5 * ax2 - 4 * ax + 2
+    ) * ((ax > 1) & (ax <= 2))
+
+
+def _resize_matrix(scale: float, out_size: int, in_size: int) -> np.ndarray:
+    """Dense (out_size, in_size) matrix reproducing the reference's 2-tap
+    normalized cubic interpolation along one axis (phi.py:333-359)."""
+    out_coords = np.linspace(0, in_size - 1, out_size)
+    in_coords = out_coords / scale
+    left = np.floor(in_coords - 0.5).astype(np.int32)
+    right = left + 1
+    left = np.clip(left, 0, in_size - 1)
+    right = np.clip(right, 0, in_size - 1)
+    w_left = _cubic(in_coords - left)
+    w_right = _cubic(right - in_coords)
+    wsum = w_left + w_right
+    nz = wsum != 0
+    w_left[nz] /= wsum[nz]
+    w_right[nz] /= wsum[nz]
+    g = np.zeros((out_size, in_size), np.float64)
+    np.add.at(g, (np.arange(out_size), left), w_left)
+    np.add.at(g, (np.arange(out_size), right), w_right)
+    return g
+
+
+def interpolate_336(x: np.ndarray) -> np.ndarray:
+    """(N, C, H, W) -> (N, C, 336, 336) via separable 2-tap cubic."""
+    n, c, h, w = x.shape
+    gh = _resize_matrix(336 / h, 336, h)
+    gw = _resize_matrix(336 / w, 336, w)
+    out = np.einsum("ih,nchw,jw->ncij", gh, x.astype(np.float64), gw)
+    return out.astype(x.dtype)
+
+
+class Phi3VImageProcessor:
+    def __init__(self, num_crops: int = 16):
+        self.num_crops = num_crops
+        self.image_mean = np.array([0.48145466, 0.4578275, 0.40821073])
+        self.image_std = np.array([0.26862954, 0.26130258, 0.27577711])
+
+    def __call__(self, images) -> dict:
+        from PIL import Image, ImageOps
+
+        def hd_transform(img):
+            img = img.convert("RGB")
+            w, h = img.size
+            trans = False
+            if w < h:
+                img = img.transpose(Image.TRANSPOSE)
+                trans = True
+                w, h = img.size
+            scale = int(np.sqrt(self.num_crops * w / h))
+            img = img.resize([int(scale * 336), int(scale * 336 * h / w)], Image.BILINEAR)
+
+            def pad_to_336(b):
+                _, bh = b.size
+                diff = int(np.ceil(bh / 336) * 336) - bh
+                top = diff // 2
+                return ImageOps.expand(
+                    b, border=(0, top, 0, diff - top), fill=(255, 255, 255)
+                )
+
+            img = pad_to_336(img)
+            if trans:
+                img = img.transpose(Image.TRANSPOSE)
+            arr = (np.asarray(img) / 255.0 - self.image_mean) / self.image_std
+            return arr.transpose(2, 0, 1)  # (3, H, W)
+
+        def pad_to_max_crops(imgs, max_crops=17):
+            b, _, h, w = imgs.shape
+            if b < max_crops:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((max_crops - b, 3, h, w))], axis=0
+                )
+            return imgs
+
+        hd_images = [hd_transform(img) for img in images]
+        shapes = [[im.shape[1], im.shape[2]] for im in hd_images]
+        num_img_tokens = [
+            int((h // 336 * w // 336 + 1) * 144 + 1 + (h // 336 + 1) * 12)
+            for h, w in shapes
+        ]
+        global_image = [interpolate_336(im[None]) for im in hd_images]
+        hd_reshaped = [
+            im.reshape(1, 3, h // 336, 336, w // 336, 336)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(-1, 3, 336, 336)
+            for im, (h, w) in zip(hd_images, shapes)
+        ]
+        hd_reshaped = [
+            np.concatenate([g, im], axis=0) for g, im in zip(global_image, hd_reshaped)
+        ]
+        pixel_values = np.stack([pad_to_max_crops(im) for im in hd_reshaped], axis=0)
+        return {
+            "pixel_values": pixel_values.astype(np.float32),
+            "image_sizes": shapes,
+            "num_img_tokens": num_img_tokens,
+        }

@@ -1,0 +1,335 @@
+"""Phi-3 decoder — functional TPU-native implementation.
+
+Capability parity with the reference model stack
+(/root/reference/phi.py:418-617): fused qkv projection, su-scaled RoPE,
+GQA-capable attention against a preallocated KV window, SwiGLU MLP with fused
+gate_up projection, pre-RMSNorm residual blocks, untied lm_head, left-padded
+batch semantics (pids/mask), beam cache-repeat and offset-rewind scoring for
+constrained decoding.
+
+Architecture differences (deliberate, TPU-first):
+
+* parameters are a pytree with the per-layer subtree *stacked* along a
+  leading layer axis so the decoder runs as one ``lax.scan`` — one compiled
+  layer body instead of 32 unrolled blocks;
+* all mutable state (cache, offset, masks, rope tables) lives in an explicit
+  :class:`~..engine.state.DecodeState` threaded through pure step functions;
+* masks are computed on the fly from (offset, validity bits, causal rule) —
+  no materialized L x L ``Mask4D``;
+* softmax/norm accumulate in fp32; weights/activations default to bfloat16.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import ModelConfig
+from ..engine.state import (
+    DecodeState,
+    KVCache,
+    LayerKV,
+    init_state,
+    merge_layers,
+    read_kv,
+    split_layers,
+    write_kv,
+)
+from ..ops.attention import masked_attention
+from ..ops.linear import dense, embedding
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rotary, su_rope_tables
+
+
+class ForwardResult(NamedTuple):
+    logits: jax.Array
+    state: Optional[DecodeState]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (random; real weights come from core/weights.py)
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key, dtype=None) -> dict:
+    """Random parameters with the exact pytree structure of a loaded
+    checkpoint (layer subtree stacked along axis 0)."""
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    e, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    h, kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    nl = cfg.num_hidden_layers
+    op = (h + 2 * kv) * d
+    ks = jax.random.split(key, 8)
+
+    def nrm(k, shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] if len(shape) > 1 else e) ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "model": {
+            "embed_tokens": {"weight": nrm(ks[0], (v, e), 0.02)},
+            "layers": {
+                "self_attn": {
+                    "qkv_proj": {"weight": nrm(ks[1], (nl, e, op))},
+                    "o_proj": {"weight": nrm(ks[2], (nl, h * d, e))},
+                },
+                "mlp": {
+                    "gate_up_proj": {"weight": nrm(ks[3], (nl, e, 2 * i))},
+                    "down_proj": {"weight": nrm(ks[4], (nl, i, e))},
+                },
+                "input_layernorm": {"weight": jnp.ones((nl, e), dtype)},
+                "post_attention_layernorm": {"weight": jnp.ones((nl, e), dtype)},
+            },
+            "norm": {"weight": jnp.ones((e,), dtype)},
+        },
+        "lm_head": {"weight": nrm(ks[5], (e, v))},
+    }
+    if cfg.has_vision:
+        from .vision import init_vision_params
+
+        params["model"]["vision_embed_tokens"] = init_vision_params(cfg, ks[6], dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer (scanned)
+# ---------------------------------------------------------------------------
+
+
+def _qkv_split(cfg: ModelConfig, qkv):
+    """Fused qkv -> (B,H,L,D),(B,KV,L,D),(B,KV,L,D) (reference phi.py:443-446)."""
+    b, l, _ = qkv.shape
+    h, kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = qkv[..., : h * d].reshape(b, l, h, d).transpose(0, 2, 1, 3)
+    k = qkv[..., h * d : (h + kv) * d].reshape(b, l, kv, d).transpose(0, 2, 1, 3)
+    v = qkv[..., (h + kv) * d :].reshape(b, l, kv, d).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _layer_step(cfg: ModelConfig, x, lp, lkv, cos, sin, allowed, offset, n_beam, write):
+    """One decoder block: pre-norm attn + pre-norm SwiGLU MLP with residuals
+    (reference Phi3DecoderLayer, phi.py:473-485)."""
+    scale = cfg.head_dim**-0.5
+    h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    qkv = dense(lp["self_attn"]["qkv_proj"], h)
+    q, k, v = _qkv_split(cfg, qkv)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+
+    if write:
+        lkv = write_kv(lkv, k, v, offset, cfg.kv_quant)
+        kc, vc = read_kv(lkv, x.dtype)
+        o = masked_attention(q, kc, vc, allowed, scale)
+    else:
+        # Beam / no-commit read path: repeat the shared cache n_beam x along
+        # batch and append the fresh chunk (reference KVCache beam mode,
+        # phi.py:523-527) — a pure read, the cache is untouched.
+        kc, vc = read_kv(lkv, x.dtype)
+        if n_beam > 1:
+            kc = jnp.repeat(kc, n_beam, axis=0)
+            vc = jnp.repeat(vc, n_beam, axis=0)
+        kc = jnp.concatenate([kc, k], axis=2)
+        vc = jnp.concatenate([vc, v], axis=2)
+        o = masked_attention(q, kc, vc, allowed, scale)
+
+    b, _, l, _ = q.shape
+    o = o.transpose(0, 2, 1, 3).reshape(b, l, -1)
+    x = x + dense(lp["self_attn"]["o_proj"], o).astype(x.dtype)
+
+    h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    gate_up = dense(lp["mlp"]["gate_up_proj"], h)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    mlp = dense(lp["mlp"]["down_proj"], jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+    x = x + mlp.astype(x.dtype)
+    return x, lkv
+
+
+def _run_layers(cfg, layer_params, x, layer_kv, cos, sin, allowed, offset, n_beam, write):
+    def body(carry, xs):
+        lp, lkv = xs
+        y, new_lkv = _layer_step(
+            cfg, carry, lp, lkv, cos, sin, allowed, offset, n_beam, write
+        )
+        return y, new_lkv
+
+    x, new_kv = lax.scan(body, x, (layer_params, layer_kv))
+    return x, new_kv
+
+
+# ---------------------------------------------------------------------------
+# Full forward passes
+# ---------------------------------------------------------------------------
+
+
+def decode_forward(
+    params: dict,
+    cfg: ModelConfig,
+    state: DecodeState,
+    input_ids=None,
+    inputs_embeds=None,
+    *,
+    advance: Optional[int] = None,
+    n_beam: int = 1,
+) -> ForwardResult:
+    """Run a chunk through the decoder against an existing cache window.
+
+    ``advance`` mirrors the reference's ``advance_offset`` (phi.py:589-591):
+    None commits the whole chunk; an int commits exactly that many positions
+    (0 = pure scoring / cache rewind, 1 = constrained-decoding step).
+    ``n_beam > 1`` scores a (B*n_beam, L) chunk against the shared cache
+    without committing anything.
+    """
+    mdl = params["model"]
+    if inputs_embeds is None:
+        inputs_embeds = embedding(mdl["embed_tokens"], input_ids)
+    x = inputs_embeds.astype(jnp.dtype(cfg.dtype))
+    b, l, _ = x.shape
+    offset = state.offset
+    lmax = state.window
+
+    q_pos = offset + jnp.arange(l)
+    cos = lax.dynamic_slice_in_dim(state.cos, offset, l, axis=1)
+    sin = lax.dynamic_slice_in_dim(state.sin, offset, l, axis=1)
+    # Align rope tables to the query batch: the cache batch may be 1 (shared
+    # tables) or b//n_beam (beam rows repeat the cache batch, reference
+    # phi.py:447-450).
+    if cos.shape[0] == 1 and b > 1:
+        cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
+        sin = jnp.broadcast_to(sin, (b,) + sin.shape[1:])
+    elif cos.shape[0] != b:
+        cos = jnp.repeat(cos, b // cos.shape[0], axis=0)
+        sin = jnp.repeat(sin, b // cos.shape[0], axis=0)
+
+    write = n_beam == 1
+    if write:
+        key_pos = jnp.arange(lmax)
+        allowed = (key_pos[None, :] <= q_pos[:, None])[None, None] & state.valid[
+            :, None, None, :
+        ]
+    else:
+        key_pos = jnp.arange(lmax)
+        cache_ok = (key_pos[None, :] < offset) & state.valid  # (B, Lmax)
+        cache_ok = jnp.repeat(cache_ok, n_beam, axis=0)
+        chunk_causal = jnp.tril(jnp.ones((l, l), bool))
+        allowed = jnp.concatenate(
+            [
+                jnp.broadcast_to(cache_ok[:, None, None, :], (b, 1, l, lmax)),
+                jnp.broadcast_to(chunk_causal[None, None], (b, 1, l, l)),
+            ],
+            axis=-1,
+        )
+
+    layer_kv = split_layers(state.kv)
+    x, new_layer_kv = _run_layers(
+        cfg,
+        mdl["layers"],
+        x,
+        layer_kv,
+        cos,
+        sin,
+        allowed,
+        offset,
+        n_beam,
+        write,
+    )
+    x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+    logits = dense(params["lm_head"], x)
+
+    if write:
+        new_offset = offset + (l if advance is None else advance)
+        new_state = state._replace(kv=merge_layers(new_layer_kv), offset=new_offset)
+    else:
+        new_state = state
+    return ForwardResult(logits=logits, state=new_state)
+
+
+def prefill(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids,
+    *,
+    max_tokens: int,
+    pids=None,
+    prompt_valid=None,
+    inputs_embeds=None,
+) -> ForwardResult:
+    """Allocate a decode window and run the prompt through it.
+
+    Equivalent to the reference's first ``model(**inputs, max_tokens=N)`` call
+    which lazily creates cache/mask/rope (phi.py:580-583).
+    """
+    if inputs_embeds is not None:
+        b, l = inputs_embeds.shape[:2]
+    else:
+        b, l = input_ids.shape
+    compute_dtype = jnp.dtype(cfg.dtype)
+    state = init_state(
+        cfg,
+        b,
+        l,
+        l + max_tokens,
+        pids=pids,
+        prompt_valid=prompt_valid,
+        compute_dtype=compute_dtype,
+    )
+    return decode_forward(
+        params, cfg, state, input_ids=input_ids, inputs_embeds=inputs_embeds
+    )
+
+
+def forward_nocache(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids=None,
+    *,
+    pids=None,
+    prompt_valid=None,
+    inputs_embeds=None,
+):
+    """Single causal pass with no cache allocation — the reference's
+    ``max_tokens=0`` mode used by ``_choose_from`` (phi_3_vision_mlx.py:475)
+    and by the LoRA training loss (phi_3_vision_mlx.py:996-1004).
+
+    Returns logits only.
+    """
+    mdl = params["model"]
+    if inputs_embeds is None:
+        inputs_embeds = embedding(mdl["embed_tokens"], input_ids)
+    x = inputs_embeds.astype(jnp.dtype(cfg.dtype))
+    b, l, _ = x.shape
+    if prompt_valid is None:
+        prompt_valid = jnp.ones((b, l), bool)
+    cos, sin = su_rope_tables(cfg, l, pids)
+    if cos.shape[0] == 1 and b > 1:
+        cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
+        sin = jnp.broadcast_to(sin, (b,) + sin.shape[1:])
+    pos = jnp.arange(l)
+    allowed = (pos[None, :] <= pos[:, None])[None, None] & prompt_valid[:, None, None, :]
+
+    scale = cfg.head_dim**-0.5
+
+    def body(carry, lp):
+        h = rms_norm(carry, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+        qkv = dense(lp["self_attn"]["qkv_proj"], h)
+        q, k, v = _qkv_split(cfg, qkv)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        o = masked_attention(q, k, v, allowed, scale)
+        bb, _, ll, _ = q.shape
+        o = o.transpose(0, 2, 1, 3).reshape(bb, ll, -1)
+        y = carry + dense(lp["self_attn"]["o_proj"], o).astype(carry.dtype)
+        hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+        gate_up = dense(lp["mlp"]["gate_up_proj"], hh)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        mlp = dense(
+            lp["mlp"]["down_proj"],
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+        )
+        return y + mlp.astype(carry.dtype), None
+
+    x, _ = lax.scan(body, x, mdl["layers"])
+    x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+    return dense(params["lm_head"], x)
