@@ -30,10 +30,12 @@ from ..models import phi3
 from ..utils.timing import Tic
 from .stream import LogitStopper, Streamer, TokenStopper
 
+import os
+
 PROMPT_BUCKET = 64
 WINDOW_BUCKET = 64
-DECODE_CHUNK = 8
-PREFILL_CHUNK = 512
+DECODE_CHUNK = int(os.environ.get("PHI3V_TPU_DECODE_CHUNK", "8"))
+PREFILL_CHUNK = int(os.environ.get("PHI3V_TPU_PREFILL_CHUNK", "512"))
 
 
 def round_up(x: int, m: int) -> int:

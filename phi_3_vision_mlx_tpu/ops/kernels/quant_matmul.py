@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: activation x group-quantized weight matmul.
+
+The decode hot path is HBM-bandwidth-bound on weight reads (SURVEY.md §6 —
+the reference's 2.4x speedup from 4-bit weights is pure bandwidth).  The XLA
+fallback (`ops.quant.quantized_matmul`) materializes the dequantized bf16
+weight in HBM every call, tripling traffic; this kernel streams the int8
+payload HBM->VMEM once, dequantizes whole tiles with a single fused
+VPU op, and feeds the MXU directly:
+
+    y[M, N] = x[M, K] @ (scales[g(K), N] * q[K, N] + biases[g(K), N])
+
+**Interleaved layout trick.** Expanding per-group scales to per-row inside a
+kernel needs an element-repeat, which Mosaic lowers poorly (reshapes/rolls).
+`pltpu.repeat` instead *tiles* its input: out[r] = in[r mod G].  So
+:func:`to_kernel_layout` row-permutes the payload within every K-block such
+that the group of row ``r`` IS ``r mod G`` — after that, one cheap
+`pltpu.repeat` of the (G, bn) scale tile is exactly the right per-row scale
+matrix, and dequant is a single (bk, bn) fused multiply-add.  Activations
+get the matching column permutation (a static gather on a tiny (M, K) array,
+fused into the surrounding XLA program for free).
+
+Grid: (N tiles, K tiles); K is the sequential reduction dimension with an
+f32 VMEM accumulator.  M (decode batch) is small and lives entirely in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_K = 512
+
+
+def _perm_for(k: int, group: int, block_k: int) -> np.ndarray:
+    """Row permutation: within each K-block, row r holds original element
+    k0 = block_start + (r % gk) * group + r // gk  (gk = block_k // group)."""
+    gk = block_k // group
+    perm = np.arange(k).reshape(k // block_k, gk, group)
+    perm = perm.transpose(0, 2, 1).reshape(k)  # new_row -> original_k
+    return perm
+
+
+def to_kernel_layout(q, scales, biases, block_k: int = BLOCK_K):
+    """(K, N) uint8 payload -> interleaved (K, N) int8 + f32 scales/biases."""
+    k, n = q.shape
+    groups = scales.shape[0]
+    group = k // groups
+    block_k = min(block_k, k)
+    perm = _perm_for(k, group, block_k)
+    q_perm = jnp.asarray(q)[perm].astype(jnp.int8)
+    return q_perm, scales.astype(jnp.float32), biases.astype(jnp.float32)
+
+
+def permute_activation(x, group: int, block_k: int = BLOCK_K):
+    """Apply the matching K-column permutation to activations."""
+    k = x.shape[-1]
+    block_k = min(block_k, k)
+    perm = _perm_for(k, group, block_k)
+    return x[..., perm]
+
+
+def _kernel(x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref, *, group, out_dtype):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bk, bn = q_ref.shape
+    reps = bk // s_ref.shape[0]
+    # Rows are group-interleaved, so tiling the scale block `reps`-fold gives
+    # the exact per-row scale matrix (out[r] = s[r mod G]).
+    s_full = pltpu.repeat(s_ref[...], reps, 0)
+    b_full = pltpu.repeat(b_ref[...], reps, 0)
+    w = (q_ref[...].astype(jnp.int32).astype(jnp.float32) * s_full + b_full).astype(
+        jnp.bfloat16
+    )
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16),
+        w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "out_dtype"))
+def quant_matmul_interleaved(
+    x_perm, q_perm, scales, biases, *, block_n: int = 1024, block_k: int = BLOCK_K,
+    out_dtype=None,
+):
+    """Core call; expects pre-permuted x (see :func:`permute_activation`)."""
+    m, k = x_perm.shape
+    kk, n = q_perm.shape
+    assert k == kk
+    groups = scales.shape[0]
+    group = k // groups
+    out_dtype = out_dtype or x_perm.dtype
+
+    block_k = min(block_k, k)
+    block_n = min(block_n, n)
+    assert k % block_k == 0 and n % block_n == 0, (k, n, block_n)
+    gk = block_k // group
+
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x_perm = jnp.pad(x_perm, ((0, m_pad - m), (0, 0)))
+
+    grid = (n // block_n, k // block_k)
+    out = pl.pallas_call(
+        functools.partial(_kernel, group=group, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, block_k), lambda j, kk: (0, kk)),
+            pl.BlockSpec((block_k, block_n), lambda j, kk: (kk, j)),
+            pl.BlockSpec((gk, block_n), lambda j, kk: (kk, j)),
+            pl.BlockSpec((gk, block_n), lambda j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, block_n), lambda j, kk: (0, j)),
+        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x_perm, q_perm, scales, biases)
+    return out[:m] if m_pad != m else out
+
+
+def quant_matmul(x, q_perm, scales, biases, **kw):
+    """x: (M, K) activations (unpermuted); weight in kernel layout."""
+    groups = scales.shape[0]
+    group = x.shape[-1] // groups
+    return quant_matmul_interleaved(
+        permute_activation(x, group), q_perm, scales, biases, **kw
+    )

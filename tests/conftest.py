@@ -7,15 +7,21 @@ tiny random-weight configs, no network, simulated multi-chip meshes.
 
 import os
 
-# The session presets JAX_PLATFORMS=axon (the real TPU tunnel); tests must be
-# hermetic and deterministic, so force CPU — explicit assignment, not
-# setdefault.  f32 on CPU is exact; on TPU matmuls default to bf16 passes.
+# The environment registers the 'axon' TPU PJRT plugin from sitecustomize at
+# interpreter start, overriding the JAX_PLATFORMS env var.  Forcing CPU must
+# therefore go through jax.config (backends initialize lazily, so this works
+# as long as it happens before the first device use).  8 virtual CPU devices
+# enable simulated-mesh tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
