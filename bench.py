@@ -80,6 +80,13 @@ def main():
 
     cfg = preset("phi35_mini").replace(quantized=QuantConfig(group_size=64, bits=4))
     params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PHI3V_TPU_QUANT_KERNEL", "1") == "1"
+    ):
+        from phi_3_vision_mlx_tpu.core.weights import kernelize_params
+
+        params = kernelize_params(params, cfg)
     jax.block_until_ready(params)
     lm = LM(cfg, params)
     processor = Phi3Processor(tokenizer=ByteTokenizer())

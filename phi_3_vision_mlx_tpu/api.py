@@ -80,6 +80,13 @@ def _get_adapter_path(model_path: str) -> str:
 def _load(model_path=PATH_ORIGINAL_PHI3_VISION, adapter_path=None, **kwargs):
     """Checkpoint dir -> (LM, processor) (reference ``_load``, :257-274)."""
     cfg, params = W.load_params(model_path, **kwargs)
+    import jax
+
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PHI3V_TPU_QUANT_KERNEL", "1") == "1"
+    ):
+        params = W.kernelize_params(params, cfg)
     if adapter_path:
         lora_cfg = json.load(open(f"{adapter_path}/adapter_config.json"))
         if lora_cfg.get("model_path") and lora_cfg["model_path"] != model_path:

@@ -272,4 +272,14 @@ def preset(name: str, **overrides) -> ModelConfig:
         )
     else:
         raise KeyError(f"unknown preset: {name}")
-    return cfg.replace(**overrides) if overrides else cfg
+    if overrides:
+        cfg = cfg.replace(**overrides)
+        # Keep synthetic su-factors consistent with a possibly-overridden
+        # head_dim (real checkpoints carry matching factors in config.json).
+        if (
+            cfg.rope_scaling is not None
+            and len(cfg.rope_scaling.long_factor) != cfg.head_dim // 2
+            and "rope_scaling" not in overrides
+        ):
+            cfg = cfg.replace(rope_scaling=_synthetic_su_factors(cfg.head_dim // 2))
+    return cfg

@@ -53,11 +53,27 @@ def _is_linear_weight(name: str) -> bool:
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
-    from safetensors.numpy import load_file
+    """Read all shards in a checkpoint dir.
+
+    Prefers the native zero-copy mmap reader (core/native.py; C++ source in
+    native/st_mmap.cpp) — tensors alias the page cache and stream to the
+    device without a host copy.  Falls back to the ``safetensors`` package.
+    """
+    loader = None
+    if os.environ.get("PHI3V_TPU_NATIVE_IO", "1") == "1":
+        try:
+            from . import native
+
+            if native.available():
+                loader = native.load_file_mmap
+        except Exception:
+            loader = None
+    if loader is None:
+        from safetensors.numpy import load_file as loader
 
     flat: Dict[str, np.ndarray] = {}
     for wf in sorted(glob.glob(f"{path}/*.safetensors")):
-        flat.update(load_file(wf))
+        flat.update(loader(wf))
     if not flat:
         raise FileNotFoundError(f"no *.safetensors under {path}")
     return flat
@@ -291,6 +307,64 @@ def download_and_convert(hub_id: str, local_path: str, quantized_path: str):
 # ---------------------------------------------------------------------------
 # Load
 # ---------------------------------------------------------------------------
+
+
+def kernelize_params(params: dict, cfg: ModelConfig) -> dict:
+    """Convert decoder-linear quantized payloads to the Pallas kernel's
+    interleaved int8 layout (ops/kernels/quant_matmul.py).  Only leaves whose
+    dims fit the kernel blocks are converted; everything else keeps the
+    (K, N) uint8 fallback layout.  No-op for unquantized models."""
+    if cfg.quantized is None:
+        return params
+    from ..ops.kernels.quant_matmul import BLOCK_K, to_kernel_layout
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        if "scales" in node and "weight" in node and not isinstance(node["weight"], dict):
+            q = node["weight"]
+            s, b = node["scales"], node["biases"]
+            # lm_head's vocab dim (32064) is not block-aligned: zero-pad its
+            # output columns (the model slices logits back to vocab_size).
+            if (
+                path and path[-1] == "lm_head"
+                and q.ndim == 2
+                and q.shape[-1] % 512 != 0
+                and q.dtype == jnp.uint8
+            ):
+                pad = -q.shape[-1] % 512
+                q = jnp.pad(q, ((0, 0), (0, pad)))
+                s = jnp.pad(s, ((0, 0), (0, pad)))
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            if (
+                q.dtype == jnp.uint8
+                and q.ndim >= 2
+                and q.shape[-2] % BLOCK_K == 0
+                and q.shape[-1] % 512 == 0
+                # linear leaves have scales (K//g, N); embeddings (V, E//g)
+                and s.shape[-1] == q.shape[-1]
+            ):
+                from ..ops.kernels.quant_matmul import pack_nibbles
+
+                pack = cfg.quantized.bits == 4
+                if q.ndim == 2:
+                    qp, s, b = to_kernel_layout(q, s, b)
+                    if pack:
+                        qp = pack_nibbles(qp)
+                else:  # stacked layers: vmap the transform over the layer axis
+                    qp, s, b = jax.vmap(to_kernel_layout)(q, s, b)
+                    if pack:
+                        qp = jax.vmap(pack_nibbles)(qp)
+                if pack:  # bf16 scale/bias: halves scale traffic in the kernel
+                    s = s.astype(jnp.bfloat16)
+                    b = b.astype(jnp.bfloat16)
+                out = dict(node)
+                out.update({"weight": qp, "scales": s, "biases": b})
+                return out
+            return node
+        return {k: walk(v, path + [k]) for k, v in node.items()}
+
+    return walk(params, [])
 
 
 def load_params(model_path: str, **cfg_overrides):

@@ -40,6 +40,30 @@ from ..engine.state import (
 )
 from ..ops.attention import masked_attention
 from ..ops.linear import dense, embedding
+
+
+def _use_flash(lq: int, lk: int) -> bool:
+    """Route big attention shapes to the Pallas flash kernel (TPU only).
+
+    The XLA path materializes (B, H, Lq, Lk) score tensors — fine for decode
+    steps, quadratic-memory for long prefill (the reference's scaling cliff,
+    SURVEY.md §5).  Threshold keeps small/medium shapes on XLA where fusion
+    wins.  Env: PHI3V_TPU_FLASH=0 disables, =1 forces (when on TPU).
+    """
+    import os
+
+    flag = os.environ.get("PHI3V_TPU_FLASH", "auto")
+    if flag == "0":
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return False
+    if flag == "1":
+        return True
+    return lq >= 512 and lk >= 2048
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rotary, su_rope_tables
 
@@ -109,7 +133,10 @@ def _qkv_split(cfg: ModelConfig, qkv):
     return q, k, v
 
 
-def _layer_step(cfg: ModelConfig, x, lp, lkv, cos, sin, allowed, offset, n_beam, write):
+def _layer_step(
+    cfg: ModelConfig, x, lp, lkv, cos, sin, allowed, offset, n_beam, write,
+    valid=None,
+):
     """One decoder block: pre-norm attn + pre-norm SwiGLU MLP with residuals
     (reference Phi3DecoderLayer, phi.py:473-485)."""
     scale = cfg.head_dim**-0.5
@@ -122,7 +149,12 @@ def _layer_step(cfg: ModelConfig, x, lp, lkv, cos, sin, allowed, offset, n_beam,
     if write:
         lkv = write_kv(lkv, k, v, offset, cfg.kv_quant)
         kc, vc = read_kv(lkv, x.dtype)
-        o = masked_attention(q, kc, vc, allowed, scale)
+        if valid is not None and _use_flash(q.shape[2], kc.shape[2]):
+            from ..ops.kernels.flash_attention import flash_attention
+
+            o = flash_attention(q, kc, vc, valid, offset, scale=scale)
+        else:
+            o = masked_attention(q, kc, vc, allowed, scale)
     else:
         # Beam / no-commit read path: repeat the shared cache n_beam x along
         # batch and append the fresh chunk (reference KVCache beam mode,
@@ -147,11 +179,15 @@ def _layer_step(cfg: ModelConfig, x, lp, lkv, cos, sin, allowed, offset, n_beam,
     return x, lkv
 
 
-def _run_layers(cfg, layer_params, x, layer_kv, cos, sin, allowed, offset, n_beam, write):
+def _run_layers(
+    cfg, layer_params, x, layer_kv, cos, sin, allowed, offset, n_beam, write,
+    valid=None,
+):
     def body(carry, xs):
         lp, lkv = xs
         y, new_lkv = _layer_step(
-            cfg, carry, lp, lkv, cos, sin, allowed, offset, n_beam, write
+            cfg, carry, lp, lkv, cos, sin, allowed, offset, n_beam, write,
+            valid=valid,
         )
         return y, new_lkv
 
@@ -234,9 +270,11 @@ def decode_forward(
         offset,
         n_beam,
         write,
+        valid=state.valid if write else None,
     )
     x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
-    logits = dense(params["lm_head"], x)
+    # Slice in case the quantized lm_head was block-padded (weights.kernelize).
+    logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
 
     if write:
         new_offset = offset + (l if advance is None else advance)
@@ -310,6 +348,7 @@ def forward_nocache(
     allowed = (pos[None, :] <= pos[:, None])[None, None] & prompt_valid[:, None, None, :]
 
     scale = cfg.head_dim**-0.5
+    use_flash = _use_flash(l, l)
 
     def body(carry, lp):
         h = rms_norm(carry, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
@@ -317,7 +356,12 @@ def forward_nocache(
         q, k, v = _qkv_split(cfg, qkv)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        o = masked_attention(q, k, v, allowed, scale)
+        if use_flash:
+            from ..ops.kernels.flash_attention import flash_attention
+
+            o = flash_attention(q, k, v, prompt_valid, jnp.int32(0), scale=scale)
+        else:
+            o = masked_attention(q, k, v, allowed, scale)
         bb, _, ll, _ = q.shape
         o = o.transpose(0, 2, 1, 3).reshape(bb, ll, -1)
         y = carry + dense(lp["self_attn"]["o_proj"], o).astype(carry.dtype)
@@ -332,4 +376,4 @@ def forward_nocache(
 
     x, _ = lax.scan(body, x, mdl["layers"])
     x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
-    return dense(params["lm_head"], x)
+    return dense(params["lm_head"], x)[..., : cfg.vocab_size]

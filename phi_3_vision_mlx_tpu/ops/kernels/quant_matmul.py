@@ -56,12 +56,127 @@ def to_kernel_layout(q, scales, biases, block_k: int = BLOCK_K):
     return q_perm, scales.astype(jnp.float32), biases.astype(jnp.float32)
 
 
+def unpermute_payload(q_perm, group: int = 64, block_k: int = BLOCK_K):
+    """Kernel-interleaved payload -> plain (K, N) uint8 (for the XLA path)."""
+    k = q_perm.shape[-2]
+    perm = _perm_for(k, group, min(block_k, k))
+    inv = np.argsort(perm)
+    return jnp.asarray(q_perm)[..., inv, :].astype(jnp.uint8)
+
+
 def permute_activation(x, group: int, block_k: int = BLOCK_K):
     """Apply the matching K-column permutation to activations."""
     k = x.shape[-1]
     block_k = min(block_k, k)
     perm = _perm_for(k, group, block_k)
     return x[..., perm]
+
+
+PACK_BLOCK_N = 512
+
+
+def pack_nibbles(q_perm, block_n: int = PACK_BLOCK_N):
+    """Interleaved (K, N) 4-bit payload -> (K, N//2) uint8, two nibbles/byte.
+
+    Within each ``block_n``-column block, byte j packs column j (low nibble)
+    and column j + block_n//2 (high nibble) — so the kernel unpacks with two
+    bit-ops and one lane-dim concat, no shuffles.
+    """
+    k, n = q_perm.shape
+    assert n % block_n == 0
+    half = block_n // 2
+    q = jnp.asarray(q_perm).astype(jnp.uint8).reshape(k, n // block_n, block_n)
+    lo = q[:, :, :half]
+    hi = q[:, :, half:]
+    packed = (lo | (hi << 4)).reshape(k, n // 2)
+    return packed
+
+
+def _packed_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref, *, out_dtype):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bk = q_ref.shape[0]
+    bn = s_ref.shape[1]
+    half = bn // 2
+    reps = bk // s_ref.shape[0]
+    v = q_ref[...].astype(jnp.int32)  # (bk, bn//2)
+    lo = (v & 15).astype(jnp.float32)
+    hi = (v >> 4).astype(jnp.float32)
+    # Scales are stored bf16 (half the HBM traffic) but dequant math runs in
+    # f32 — bf16 VPU arithmetic measured slower on this target.
+    s_full = pltpu.repeat(s_ref[...], reps, 0).astype(jnp.float32)
+    b_full = pltpu.repeat(b_ref[...], reps, 0).astype(jnp.float32)
+    w = jnp.concatenate(
+        [
+            lo * s_full[:, :half] + b_full[:, :half],
+            hi * s_full[:, half:] + b_full[:, half:],
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16),
+        w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "out_dtype"))
+def quant_matmul_packed(
+    x_perm, q_packed, scales, biases, *, block_k: int = BLOCK_K, out_dtype=None
+):
+    """Packed-int4 variant; expects pre-permuted x and packed payload."""
+    m, k = x_perm.shape
+    kk, n_half = q_packed.shape
+    assert k == kk
+    n = n_half * 2
+    out_dtype = out_dtype or x_perm.dtype
+    block_n = PACK_BLOCK_N
+    block_k = min(block_k, k)
+    assert k % block_k == 0 and n % block_n == 0, (k, n)
+    groups = scales.shape[0]
+    group = k // groups
+    gk = block_k // group
+
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x_perm = jnp.pad(x_perm, ((0, m_pad - m), (0, 0)))
+
+    grid = (n // block_n, k // block_k)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, block_k), lambda j, kk: (0, kk)),
+            pl.BlockSpec((block_k, block_n // 2), lambda j, kk: (kk, j)),
+            pl.BlockSpec((gk, block_n), lambda j, kk: (kk, j)),
+            pl.BlockSpec((gk, block_n), lambda j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, block_n), lambda j, kk: (0, j)),
+        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x_perm, q_packed, scales, biases)
+    return out[:m] if m_pad != m else out
+
+
+def unpack_nibbles(q_packed, block_n: int = PACK_BLOCK_N):
+    """Inverse of :func:`pack_nibbles` (still row-interleaved)."""
+    k, n_half = q_packed.shape[-2:]
+    n = n_half * 2
+    half = block_n // 2
+    q = jnp.asarray(q_packed).reshape(*q_packed.shape[:-2], k, n // block_n, half)
+    lo = q & 15
+    hi = q >> 4
+    return jnp.concatenate([lo, hi], axis=-1).reshape(*q_packed.shape[:-2], k, n)
 
 
 def _kernel(x_ref, q_ref, s_ref, b_ref, o_ref, acc_ref, *, group, out_dtype):
@@ -105,6 +220,8 @@ def quant_matmul_interleaved(
 
     block_k = min(block_k, k)
     block_n = min(block_n, n)
+    if n % block_n != 0:  # fall back to the smaller lane block (e.g. padded
+        block_n = 512     # lm_head: 32256 = 63 * 512)
     assert k % block_k == 0 and n % block_n == 0, (k, n, block_n)
     gk = block_k // group
 

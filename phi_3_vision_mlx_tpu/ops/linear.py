@@ -54,9 +54,50 @@ def embedding(p: dict, ids, dtype=None):
 
 
 def dense(p: dict, x, *, lora_scale: float = 1.0, dropout_mask=None):
-    """Apply a linear layer parameter dict to ``x`` (..., K) -> (..., N)."""
+    """Apply a linear layer parameter dict to ``x`` (..., K) -> (..., N).
+
+    Quantized leaves dispatch on payload dtype: ``int8`` payloads are in the
+    Pallas kernel's interleaved layout (ops/kernels/quant_matmul.py, applied
+    by ``weights.kernelize_params`` on TPU); ``uint8`` payloads use the XLA
+    fallback everywhere else.
+    """
     if is_quantized(p):
-        y = quantized_matmul(x, QTensor(p["weight"], p["scales"], p["biases"]))
+        lead = x.shape[:-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        q = p["weight"]
+        n_scales = p["scales"].shape[-1]
+        packed = q.dtype == jnp.uint8 and q.shape[-1] * 2 == n_scales
+        interleaved = packed or q.dtype == jnp.int8
+        if interleaved and rows <= 256:
+            # Decode regime: memory-bound -> Pallas dequant-in-VMEM kernel.
+            from .kernels.quant_matmul import quant_matmul, quant_matmul_packed
+            from .kernels.quant_matmul import permute_activation
+
+            kdim = x.shape[-1]
+            group = kdim // p["scales"].shape[-2]
+            xp = permute_activation(x.reshape(-1, kdim), group)
+            if packed:
+                y = quant_matmul_packed(
+                    xp, q, p["scales"], p["biases"], out_dtype=x.dtype
+                )
+            else:
+                from .kernels.quant_matmul import quant_matmul_interleaved
+
+                y = quant_matmul_interleaved(
+                    xp, q, p["scales"], p["biases"], out_dtype=x.dtype
+                )
+            y = y.reshape(*lead, y.shape[-1])
+        else:
+            # Prefill/training regime (large M, compute-bound) or fallback layout.
+            if interleaved:
+                from .kernels.quant_matmul import unpack_nibbles, unpermute_payload
+
+                if packed:
+                    q = unpack_nibbles(q).astype(jnp.uint8)
+                q = unpermute_payload(q, group=q.shape[-2] // p["scales"].shape[-2])
+            y = quantized_matmul(x, QTensor(q, p["scales"], p["biases"]))
     else:
         y = jnp.matmul(x, p["weight"].astype(x.dtype), precision=matmul_precision(x.dtype))
     if "bias" in p:

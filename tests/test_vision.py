@@ -1,0 +1,125 @@
+"""Vision stack: image preprocessing numerics, token-count formula, and
+end-to-end VQA generation on a tiny random vision checkpoint."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from phi_3_vision_mlx_tpu.models.image_processor import (
+    Phi3VImageProcessor,
+    interpolate_336,
+)
+
+
+def _test_image(w=500, h=300):
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [(xx * 255 // w), (yy * 255 // h), ((xx + yy) * 255 // (w + h))], axis=-1
+    ).astype(np.uint8)
+    return Image.fromarray(arr)
+
+
+def test_interpolate_336_identity():
+    x = np.random.default_rng(0).normal(size=(1, 3, 336, 336)).astype(np.float32)
+    y = interpolate_336(x)
+    # At 336->336 the 2-tap cubic has left==right==center -> identity.
+    np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-5)
+
+
+def test_interpolate_336_matches_taps_formula():
+    """Cross-check the matrix formulation against an independent gather-based
+    evaluation of the reference's 2-tap kernel (phi.py:331-372) — including
+    its double-scaled coordinate quirk for inputs larger than 336."""
+    from phi_3_vision_mlx_tpu.models.image_processor import _resize_matrix
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 2, 672, 400)).astype(np.float32)
+
+    def taps(in_size):
+        scale = 336 / in_size
+        out_coords = np.linspace(0, in_size - 1, 336)
+        in_coords = out_coords / scale
+        left = np.clip(np.floor(in_coords - 0.5).astype(int), 0, in_size - 1)
+        right = np.clip(left + 1, 0, in_size - 1)
+
+        def cub(t):
+            a = np.abs(t)
+            return np.where(
+                a <= 1, 1.5 * a**3 - 2.5 * a**2 + 1,
+                np.where(a <= 2, -0.5 * a**3 + 2.5 * a**2 - 4 * a + 2, 0.0),
+            )
+
+        wl = cub(in_coords - left)
+        wr = cub(right - in_coords)
+        tot = wl + wr
+        nz = tot != 0
+        wl[nz] /= tot[nz]
+        wr[nz] /= tot[nz]
+        return left, right, wl, wr
+
+    hl, hr, hwl, hwr = taps(672)
+    wl_, wr_, wwl, wwr = taps(400)
+    expected = (
+        hwl[:, None] * (wwl[None, :] * x[:, :, hl][:, :, :, wl_]
+                        + wwr[None, :] * x[:, :, hl][:, :, :, wr_])
+        + hwr[:, None] * (wwl[None, :] * x[:, :, hr][:, :, :, wl_]
+                          + wwr[None, :] * x[:, :, hr][:, :, :, wr_])
+    )
+    got = interpolate_336(x)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_hd_transform_shapes_and_token_count():
+    proc = Phi3VImageProcessor()
+    out = proc([_test_image(500, 300)])
+    pv = out["pixel_values"]
+    assert pv.shape[0] == 1 and pv.shape[1] == 17 and pv.shape[2] == 3
+    assert pv.shape[3] % 336 == 0 and pv.shape[4] % 336 == 0
+    h, w = out["image_sizes"][0]
+    # reference formula (phi.py:319)
+    expected = int((h // 336 * w // 336 + 1) * 144 + 1 + (h // 336 + 1) * 12)
+    assert out["num_img_tokens"][0] == expected
+
+
+def test_portrait_transposed():
+    proc = Phi3VImageProcessor()
+    out = proc([_test_image(300, 500)])  # portrait
+    h, w = out["image_sizes"][0]
+    assert h % 336 == 0 and w % 336 == 0
+
+
+@pytest.mark.slow
+def test_vision_generate_e2e(tmp_path):
+    from phi_3_vision_mlx_tpu.api import _load, generate
+    from phi_3_vision_mlx_tpu.core import weights as W
+
+    path = str(tmp_path / "tiny_v")
+    W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
+    lm, proc = _load(path)
+    assert lm.cfg.has_vision
+    out = generate(
+        "What is shown in this image?",
+        images=[_test_image()],
+        preload=(lm, proc),
+        max_tokens=4,
+        verbose=False,
+        stream=False,
+        mute=True,
+    )
+    assert isinstance(out, (str, list))
+
+
+@pytest.mark.slow
+def test_vision_processor_merge(tmp_path):
+    """Negative placeholder ids + scatter positions (reference phi.py:263-281)."""
+    from phi_3_vision_mlx_tpu.core import weights as W
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3VProcessor
+
+    path = str(tmp_path / "tiny_v2")
+    W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
+    proc = Phi3VProcessor(path)
+    out = proc("<|image_1|>\nDescribe.", images=[_test_image()])
+    ids = out["input_ids"][0]
+    n_img = int((ids < 0).sum())
+    assert n_img == proc.img_processor([_test_image()])["num_img_tokens"][0]
+    assert out["positions"].shape[0] == n_img
