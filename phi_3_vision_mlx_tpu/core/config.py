@@ -135,7 +135,23 @@ def config_from_dict(raw: dict, **overrides) -> ModelConfig:
     arch = raw.get("architectures", ["Phi3ForCausalLM"])[0]
     vision = None
     if arch.startswith("Phi3V"):
-        vision = ClipVisionConfig()
+        vc = raw.get("vision_config") or {}
+        vision = ClipVisionConfig(
+            **{
+                k: vc[k]
+                for k in (
+                    "hidden_size",
+                    "image_size",
+                    "intermediate_size",
+                    "layer_norm_eps",
+                    "num_attention_heads",
+                    "num_channels",
+                    "num_hidden_layers",
+                    "patch_size",
+                )
+                if k in vc
+            }
+        )
     quantized = None
     if raw.get("quantized"):
         q = raw["quantized"]
@@ -200,6 +216,17 @@ def config_to_dict(cfg: ModelConfig) -> dict:
         }
     if cfg.has_vision:
         d["img_processor"] = {"image_dim_out": cfg.image_dim_out}
+        v = cfg.vision
+        d["vision_config"] = {
+            "hidden_size": v.hidden_size,
+            "image_size": v.image_size,
+            "intermediate_size": v.intermediate_size,
+            "layer_norm_eps": v.layer_norm_eps,
+            "num_attention_heads": v.num_attention_heads,
+            "num_channels": v.num_channels,
+            "num_hidden_layers": v.num_hidden_layers,
+            "patch_size": v.patch_size,
+        }
     if cfg.quantized is not None:
         d["quantized"] = {
             "group_size": cfg.quantized.group_size,

@@ -202,12 +202,24 @@ def merge_layers(layer_kv: LayerKV) -> KVCache:
 
 
 def write_kv(lkv: LayerKV, k_new, v_new, offset, kvq: KVQuantConfig) -> LayerKV:
-    """Write a fresh (B, KV, L, D) chunk at ``offset`` (pure update)."""
+    """Write a fresh (B, KV, L, D) chunk at ``offset`` (pure update).
+
+    Quantized payloads are stored with the head dim column-interleaved
+    (column c holds original dim (c % G)*32 + c//G) so the Pallas decode
+    kernel can expand per-group scales with a single lane-tile repeat
+    (ops/kernels/kv_attention.py).  ``read_kv`` undoes the permutation for
+    the XLA path.
+    """
     b = k_new.shape[0]
     idx = (0, 0, offset, 0)
     if lkv.quantized:
+        from ..ops.kernels.kv_attention import d_perm
+
         kq, ks, kb = _kv_quantize(k_new, kvq)
         vq, vs, vb = _kv_quantize(v_new, kvq)
+        perm = d_perm(kq.shape[-1], ks.shape[-1])
+        kq = kq[..., perm]
+        vq = vq[..., perm]
         return LayerKV(
             k=lax.dynamic_update_slice(lkv.k, kq, idx),
             v=lax.dynamic_update_slice(lkv.v, vq, idx),
@@ -230,7 +242,10 @@ def read_kv(lkv: LayerKV, dtype):
     payload directly instead.
     """
     if lkv.quantized:
-        k = _kv_dequantize(lkv.k, lkv.k_scales, lkv.k_biases, dtype)
-        v = _kv_dequantize(lkv.v, lkv.v_scales, lkv.v_biases, dtype)
+        from ..ops.kernels.kv_attention import d_unperm
+
+        unperm = d_unperm(lkv.k.shape[-1], lkv.k_scales.shape[-1])
+        k = _kv_dequantize(lkv.k[..., unperm], lkv.k_scales, lkv.k_biases, dtype)
+        v = _kv_dequantize(lkv.v[..., unperm], lkv.v_scales, lkv.v_biases, dtype)
         return k, v
     return lkv.k.astype(dtype), lkv.v.astype(dtype)

@@ -49,12 +49,17 @@ def _resize_matrix(scale: float, out_size: int, in_size: int) -> np.ndarray:
 
 
 def interpolate_336(x: np.ndarray) -> np.ndarray:
-    """(N, C, H, W) -> (N, C, 336, 336) via separable 2-tap cubic."""
+    """(N, C, H, W) -> (N, C, 336, 336) via separable 2-tap cubic.
+
+    Two dense matmuls (G_h @ img @ G_w^T), NOT an einsum — a 3-operand
+    np.einsum without ``optimize`` falls back to the full O(N^4) loop nest.
+    """
     n, c, h, w = x.shape
     gh = _resize_matrix(336 / h, 336, h)
     gw = _resize_matrix(336 / w, 336, w)
-    out = np.einsum("ih,nchw,jw->ncij", gh, x.astype(np.float64), gw)
-    return out.astype(x.dtype)
+    xf = x.astype(np.float64).reshape(n * c, h, w)
+    out = gh @ xf @ gw.T  # (n*c, 336, 336)
+    return out.reshape(n, c, 336, 336).astype(x.dtype)
 
 
 class Phi3VImageProcessor:

@@ -64,6 +64,20 @@ def _use_flash(lq: int, lk: int) -> bool:
     if flag == "1":
         return True
     return lq >= 512 and lk >= 2048
+
+
+def _use_kv_kernel(lq: int) -> bool:
+    """Quantized-cache decode kernel: TPU, small query chunks only."""
+    import os
+
+    if os.environ.get("PHI3V_TPU_KV_KERNEL", "1") == "0":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return lq <= 16
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rotary, su_rope_tables
 
@@ -148,13 +162,32 @@ def _layer_step(
 
     if write:
         lkv = write_kv(lkv, k, v, offset, cfg.kv_quant)
-        kc, vc = read_kv(lkv, x.dtype)
-        if valid is not None and _use_flash(q.shape[2], kc.shape[2]):
-            from ..ops.kernels.flash_attention import flash_attention
+        if lkv.quantized and valid is not None and _use_kv_kernel(q.shape[2]):
+            # Decode over the quantized cache without materializing a
+            # dequantized copy (ops/kernels/kv_attention.py).
+            from ..ops.kernels.kv_attention import (
+                d_perm,
+                d_unperm,
+                quantized_kv_attention,
+            )
 
-            o = flash_attention(q, kc, vc, valid, offset, scale=scale)
+            groups = lkv.k_scales.shape[-1]
+            perm = d_perm(q.shape[-1], groups)
+            o_p = quantized_kv_attention(
+                q[..., perm],
+                lkv.k, lkv.k_scales, lkv.k_biases,
+                lkv.v, lkv.v_scales, lkv.v_biases,
+                valid, offset, scale=scale,
+            )
+            o = o_p[..., d_unperm(q.shape[-1], groups)].astype(x.dtype)
         else:
-            o = masked_attention(q, kc, vc, allowed, scale)
+            kc, vc = read_kv(lkv, x.dtype)
+            if valid is not None and _use_flash(q.shape[2], kc.shape[2]):
+                from ..ops.kernels.flash_attention import flash_attention
+
+                o = flash_attention(q, kc, vc, valid, offset, scale=scale)
+            else:
+                o = masked_attention(q, kc, vc, allowed, scale)
     else:
         # Beam / no-commit read path: repeat the shared cache n_beam x along
         # batch and append the fresh chunk (reference KVCache beam mode,
@@ -236,8 +269,9 @@ def decode_forward(
         cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
         sin = jnp.broadcast_to(sin, (b,) + sin.shape[1:])
     elif cos.shape[0] != b:
-        cos = jnp.repeat(cos, b // cos.shape[0], axis=0)
-        sin = jnp.repeat(sin, b // cos.shape[0], axis=0)
+        rep = b // cos.shape[0]
+        cos = jnp.repeat(cos, rep, axis=0)
+        sin = jnp.repeat(sin, rep, axis=0)
 
     write = n_beam == 1
     if write:

@@ -1,0 +1,198 @@
+"""Pallas decode attention over the int4/int8-quantized KV cache.
+
+The reference's quantized cache costs 3-4x decode throughput because it
+dequantizes + re-concatenates the whole cache every step
+(/root/reference/phi.py:536-539, SURVEY.md §6).  Our XLA fallback already
+avoids the concat but still materializes a dequantized bf16 copy of the
+cache per step (engine/state.py:read_kv).  This kernel removes that too: the
+quantized payload streams HBM->VMEM once and is dequantized tile-by-tile
+inside the online-softmax loop — decode traffic is the payload bytes, full
+stop.
+
+**Lane-interleaved head dim.**  KV quantization groups run along the head
+dim (group 32, reference parity).  Expanding per-group scales to per-column
+inside a kernel needs an element-repeat along lanes; `pltpu.repeat` tiles
+instead (out[:, c] = in[:, c mod G]).  So the cache stores the head dim
+column-permuted — column c holds original dim (c mod G)*32 + c//G — making
+one `pltpu.repeat(scales, 32, axis=1)` the exact per-column scale matrix.
+Queries get the same permutation (dot is permutation-invariant); the
+attention output is un-permuted at the end (see engine/state.py helpers).
+
+Grid: (B*KV, Lk tiles); Lk is the sequential online-softmax reduction.
+Query rows = g q-heads x Lq (both tiny at decode), padded to the sublane
+tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def d_perm(d: int, groups: int) -> np.ndarray:
+    """Column permutation: new column c -> original dim (c % G)*gs + c//G."""
+    gs = d // groups
+    c = np.arange(d)
+    return (c % groups) * gs + c // groups
+
+
+def d_unperm(d: int, groups: int) -> np.ndarray:
+    return np.argsort(d_perm(d, groups))
+
+
+def _kernel(
+    x_ref,  # scalar prefetch: (2,) int32 [offset, lq]
+    q_ref,  # (1, rows, d) bf16 — permuted-D queries (g heads x Lq rows)
+    kq_ref,  # (1, blk, d) int8 payload (permuted D)
+    ks_ref,  # (1, blk, G) f32 scales
+    kb_ref,  # (1, blk, G) f32 biases
+    vq_ref,
+    vs_ref,
+    vb_ref,
+    valid_ref,  # (1, 1, blk) int32
+    o_ref,  # (1, rows, d)
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    blk: int,
+    g: int,
+    lq: int,
+    scale: float,
+):
+    kv_idx = pl.program_id(1)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = q_ref.shape[-1]
+    groups = ks_ref.shape[-1]
+    reps = d // groups
+
+    def dequant(qp, s, b):
+        sf = pltpu.repeat(s, reps, 1).astype(jnp.float32)
+        bf = pltpu.repeat(b, reps, 1).astype(jnp.float32)
+        return (qp.astype(jnp.int32).astype(jnp.float32) * sf + bf).astype(
+            jnp.bfloat16
+        )
+
+    k = dequant(kq_ref[0], ks_ref[0], kb_ref[0])  # (blk, d)
+    q = q_ref[0]  # (rows, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s *= scale
+
+    # rows are (head-in-group, query) -> query index = row % lq
+    offset = x_ref[0]
+    q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
+    q_pos = offset + q_rows
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * blk
+    ok = (key_pos <= q_pos) & (valid_ref[0, 0][None, :] > 0)
+    s = jnp.where(ok, s, NEG_INF)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+    )
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+    v = dequant(vq_ref[0], vs_ref[0], vb_ref[0])
+    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == pl.num_programs(1) - 1)
+    def _store():
+        l = l_ref[...][:, : acc_ref.shape[1]]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k"))
+def quantized_kv_attention(
+    q, kq, ks, kb, vq, vs, vb, valid, offset, *, scale: float, block_k: int = 512
+):
+    """Decode attention reading the quantized cache directly.
+
+    Args:
+      q: (B, H, Lq, D) queries, already D-permuted (see module docstring).
+      kq/vq: (B, KV, Lmax, D) int8 payloads (D-permuted).
+      ks/kb/vs/vb: (B, KV, Lmax, G) float32 scales/biases.
+      valid: (B, Lmax) bool.
+      offset: () int32 — absolute position of the first query.
+    Returns: (B, H, Lq, D) in q.dtype, still D-permuted.
+    """
+    b, h, lq, d = q.shape
+    _, kvh, lmax, _ = kq.shape
+    g = h // kvh
+    blk = next(
+        bb for bb in (block_k, 256, 128, 64, lmax) if bb <= lmax and lmax % bb == 0
+    )
+
+    # rows = g heads x lq queries, padded to the sublane tile
+    rows = g * lq
+    rows_pad = max(8, -(-rows // 8) * 8)
+    qr = (
+        q.reshape(b, kvh, g, lq, d)
+        .reshape(b * kvh, g * lq, d)
+        .astype(jnp.bfloat16)
+    )
+    if rows_pad != rows:
+        qr = jnp.pad(qr, [(0, 0), (0, rows_pad - rows), (0, 0)])
+
+    kqr = kq.reshape(b * kvh, lmax, d)
+    vqr = vq.reshape(b * kvh, lmax, d)
+    gq = ks.shape[-1]
+    ksr = ks.reshape(b * kvh, lmax, gq)
+    kbr = kb.reshape(b * kvh, lmax, gq)
+    vsr = vs.reshape(b * kvh, lmax, gq)
+    vbr = vb.reshape(b * kvh, lmax, gq)
+    validr = jnp.repeat(valid.astype(jnp.int32), kvh, axis=0)[:, None, :]
+
+    grid = (b * kvh, lmax // blk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, blk=blk, g=g, lq=lq, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * kvh, rows_pad, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows_pad, d), lambda bh, j, xp: (bh, 0, 0)),
+                pl.BlockSpec((1, blk, d), lambda bh, j, xp: (bh, j, 0)),
+                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
+                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
+                pl.BlockSpec((1, blk, d), lambda bh, j, xp: (bh, j, 0)),
+                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
+                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
+                pl.BlockSpec((1, 1, blk), lambda bh, j, xp: (bh, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, rows_pad, d), lambda bh, j, xp: (bh, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(jnp.stack([jnp.asarray(offset, jnp.int32), jnp.int32(lq)]), qr, kqr, ksr, kbr, vqr, vsr, vbr, validr)
+    out = out[:, :rows].reshape(b, kvh, g, lq, d).reshape(b, h, lq, d)
+    return out

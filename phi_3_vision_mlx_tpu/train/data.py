@@ -60,8 +60,9 @@ def synthetic_qa(n: int = 10) -> List[Dict[str, str]]:
 def load_qa_dataset(dataset_path: str, take=None) -> List[Dict[str, str]]:
     """Rows with 'input'/'summary'/'output' columns from any supported source."""
     rows: List[Dict[str, str]] = []
+    n_wanted = take[1] if isinstance(take, tuple) else (take or 10)
     if dataset_path == "synthetic":
-        rows = synthetic_qa(max(int(take or 10), 10))
+        rows = synthetic_qa(max(int(n_wanted), 10))
     elif isinstance(dataset_path, (list, tuple)):
         rows = list(dataset_path)
     elif os.path.exists(str(dataset_path)):
@@ -83,7 +84,7 @@ def load_qa_dataset(dataset_path: str, take=None) -> List[Dict[str, str]]:
             rows = list(datasets.load_dataset(str(dataset_path), split="train"))
         except Exception as e:
             if os.environ.get("PHI3V_TPU_ALLOW_RANDOM", "") == "1":
-                rows = synthetic_qa(max(int(take or 10), 10))
+                rows = synthetic_qa(max(int(n_wanted), 10))
             else:
                 raise RuntimeError(
                     f"Could not load dataset {dataset_path!r} "
