@@ -33,7 +33,7 @@ from .stream import LogitStopper, Streamer, TokenStopper
 import os
 
 PROMPT_BUCKET = 64
-WINDOW_BUCKET = 64
+WINDOW_BUCKET = 128  # window sizes stay block-friendly for the Pallas cache kernels
 DECODE_CHUNK = int(os.environ.get("PHI3V_TPU_DECODE_CHUNK", "8"))
 PREFILL_CHUNK = int(os.environ.get("PHI3V_TPU_PREFILL_CHUNK", "512"))
 

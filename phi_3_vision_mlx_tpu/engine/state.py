@@ -119,14 +119,22 @@ def init_state(
         g = cfg.kv_quant.group_size
         assert cfg.head_dim % g == 0 or g % cfg.head_dim == 0
         groups = max(1, cfg.head_dim // g)
-        sshape = shape[:-1] + (groups,)
+        # TRANSPOSED storage: payload (nl, B, KV, D, Lmax) and scales
+        # (nl, B, KV, G, Lmax), both with the long axis last — (L, G) layouts
+        # would physically pad G to 128 lanes (42x memory/bandwidth bloat),
+        # and the transposed form lets the Pallas kernel expand per-group
+        # scales with a sublane tile-repeat (ops/kernels/kv_attention.py).
+        # bf16 scale/bias; kernels and the XLA path accumulate in f32.
+        nl_, b_, kvh_, l_, d_ = shape
+        tshape = (nl_, b_, kvh_, d_, l_)
+        sshape = (nl_, b_, kvh_, groups, l_)
         kv = KVCache(
-            k=jnp.zeros(shape, jnp.uint8),
-            v=jnp.zeros(shape, jnp.uint8),
-            k_scales=jnp.zeros(sshape, jnp.float32),
-            k_biases=jnp.zeros(sshape, jnp.float32),
-            v_scales=jnp.zeros(sshape, jnp.float32),
-            v_biases=jnp.zeros(sshape, jnp.float32),
+            k=jnp.zeros(tshape, jnp.uint8),
+            v=jnp.zeros(tshape, jnp.uint8),
+            k_scales=jnp.zeros(sshape, jnp.bfloat16),
+            k_biases=jnp.zeros(sshape, jnp.bfloat16),
+            v_scales=jnp.zeros(sshape, jnp.bfloat16),
+            v_biases=jnp.zeros(sshape, jnp.bfloat16),
         )
     else:
         kv = KVCache(k=jnp.zeros(shape, compute_dtype), v=jnp.zeros(shape, compute_dtype))
@@ -159,7 +167,11 @@ def _kv_quantize(x, kvq: KVQuantConfig):
     scale = (hi - lo) / levels
     scale = jnp.where(scale == 0, 1.0, scale)
     q = jnp.clip(jnp.round((xf - lo[..., None]) / scale[..., None]), 0, levels)
-    return q.reshape(*lead, d).astype(jnp.uint8), scale, lo
+    return (
+        q.reshape(*lead, d).astype(jnp.uint8),
+        scale.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
 
 
 def _kv_dequantize(q, scales, biases, dtype):
@@ -192,46 +204,58 @@ class LayerKV(NamedTuple):
         return self.k_scales is not None
 
 
-def split_layers(kv: KVCache):
-    """KVCache -> LayerKV pytree with leading layer axis, for lax.scan xs."""
-    return LayerKV(*kv)
+def quantize_chunk(k_new, v_new, kvq: KVQuantConfig, quantized: bool):
+    """Fresh (B, KV, L, D) chunk -> cache entries.
 
+    Quantized entries come out in the cache's transposed layout: payload
+    (B, KV, D, L) with the head dim row-interleaved (row r = original dim
+    (r % G)*gs + r//G) and scales/biases (B, KV, G, L)."""
+    if not quantized:
+        return LayerKV(k=k_new, v=v_new)
+    from ..ops.kernels.kv_attention import d_perm
 
-def merge_layers(layer_kv: LayerKV) -> KVCache:
-    return KVCache(*layer_kv)
-
-
-def write_kv(lkv: LayerKV, k_new, v_new, offset, kvq: KVQuantConfig) -> LayerKV:
-    """Write a fresh (B, KV, L, D) chunk at ``offset`` (pure update).
-
-    Quantized payloads are stored with the head dim column-interleaved
-    (column c holds original dim (c % G)*32 + c//G) so the Pallas decode
-    kernel can expand per-group scales with a single lane-tile repeat
-    (ops/kernels/kv_attention.py).  ``read_kv`` undoes the permutation for
-    the XLA path.
-    """
-    b = k_new.shape[0]
-    idx = (0, 0, offset, 0)
-    if lkv.quantized:
-        from ..ops.kernels.kv_attention import d_perm
-
-        kq, ks, kb = _kv_quantize(k_new, kvq)
-        vq, vs, vb = _kv_quantize(v_new, kvq)
-        perm = d_perm(kq.shape[-1], ks.shape[-1])
-        kq = kq[..., perm]
-        vq = vq[..., perm]
-        return LayerKV(
-            k=lax.dynamic_update_slice(lkv.k, kq, idx),
-            v=lax.dynamic_update_slice(lkv.v, vq, idx),
-            k_scales=lax.dynamic_update_slice(lkv.k_scales, ks, idx),
-            k_biases=lax.dynamic_update_slice(lkv.k_biases, kb, idx),
-            v_scales=lax.dynamic_update_slice(lkv.v_scales, vs, idx),
-            v_biases=lax.dynamic_update_slice(lkv.v_biases, vb, idx),
-        )
-    dtype = lkv.k.dtype
+    kq, ks, kb = _kv_quantize(k_new, kvq)
+    vq, vs, vb = _kv_quantize(v_new, kvq)
+    perm = d_perm(kq.shape[-1], ks.shape[-1])
+    t = lambda a: jnp.swapaxes(a, -1, -2)
     return LayerKV(
-        k=lax.dynamic_update_slice(lkv.k, k_new.astype(dtype), idx),
-        v=lax.dynamic_update_slice(lkv.v, v_new.astype(dtype), idx),
+        k=t(kq[..., perm]), v=t(vq[..., perm]),
+        k_scales=t(ks), k_biases=t(kb), v_scales=t(vs), v_biases=t(vb),
+    )
+
+
+def index_layer(kv: KVCache, i) -> LayerKV:
+    """Read view of layer ``i`` from the stacked cache (dynamic index)."""
+    return LayerKV(
+        *(
+            None if f is None else lax.dynamic_index_in_dim(f, i, 0, keepdims=False)
+            for f in kv
+        )
+    )
+
+
+def update_layer_chunk(kv: KVCache, i, offset, entries: LayerKV) -> KVCache:
+    """Write a fresh chunk's cache entries into layer ``i`` at ``offset``.
+
+    Only the chunk's columns are written — O(tokens), not O(window) — which
+    is what lets decode scale to 128K windows (the scan carries the cache;
+    XLA updates the donated buffers in place).
+    """
+    quantized = kv.quantized
+
+    def upd(full, chunk):
+        if full is None:
+            return None
+        idx = (i, 0, 0, 0, offset) if quantized else (i, 0, 0, offset, 0)
+        return lax.dynamic_update_slice(full, chunk[None].astype(full.dtype), idx)
+
+    return KVCache(
+        k=upd(kv.k, entries.k),
+        v=upd(kv.v, entries.v),
+        k_scales=upd(kv.k_scales, entries.k_scales),
+        k_biases=upd(kv.k_biases, entries.k_biases),
+        v_scales=upd(kv.v_scales, entries.v_scales),
+        v_biases=upd(kv.v_biases, entries.v_biases),
     )
 
 
@@ -244,8 +268,13 @@ def read_kv(lkv: LayerKV, dtype):
     if lkv.quantized:
         from ..ops.kernels.kv_attention import d_unperm
 
-        unperm = d_unperm(lkv.k.shape[-1], lkv.k_scales.shape[-1])
-        k = _kv_dequantize(lkv.k[..., unperm], lkv.k_scales, lkv.k_biases, dtype)
-        v = _kv_dequantize(lkv.v[..., unperm], lkv.v_scales, lkv.v_biases, dtype)
+        t = lambda a: jnp.swapaxes(a, -1, -2)  # transposed storage -> (L, D)
+        unperm = d_unperm(lkv.k.shape[-2], lkv.k_scales.shape[-2])
+        k = _kv_dequantize(
+            t(lkv.k)[..., unperm], t(lkv.k_scales), t(lkv.k_biases), dtype
+        )
+        v = _kv_dequantize(
+            t(lkv.v)[..., unperm], t(lkv.v_scales), t(lkv.v_biases), dtype
+        )
         return k, v
     return lkv.k.astype(dtype), lkv.v.astype(dtype)

@@ -32,14 +32,69 @@ from ..engine.state import (
     DecodeState,
     KVCache,
     LayerKV,
+    index_layer,
     init_state,
-    merge_layers,
+    quantize_chunk,
     read_kv,
-    split_layers,
-    write_kv,
+    update_layer_chunk,
 )
 from ..ops.attention import masked_attention
-from ..ops.linear import dense, embedding
+from ..ops.linear import dense, dense_stacked, embedding
+
+
+# Linear leaves large enough to matter in the decode loop.  Their stacked
+# quantized payloads are kept OUT of the layer scan (no per-layer slicing;
+# the Pallas kernel indexes the layer in HBM, ops/linear.py:dense_stacked).
+_HEAVY_KEYS = (
+    ("self_attn", "qkv_proj"),
+    ("self_attn", "o_proj"),
+    ("mlp", "gate_up_proj"),
+    ("mlp", "down_proj"),
+)
+
+
+def _partition_heavy(layers: dict):
+    """Split the stacked layer tree into (scan-xs tree, heavy dict).
+
+    Only kernel-layout quantized bases move to ``heavy`` (payload dtype
+    int8/uint8-packed); everything else — norms, LoRA leaves, fp weights,
+    fallback-layout payloads — stays in the scan xs unchanged."""
+    import copy
+
+    light = {k: (dict(v) if isinstance(v, dict) else v) for k, v in layers.items()}
+    heavy = {}
+    for path in _HEAVY_KEYS:
+        parent = light
+        for part in path[:-1]:
+            node = dict(parent[part]) if isinstance(parent[part], dict) else parent[part]
+            parent[part] = node
+            parent = node
+        leaf = parent.get(path[-1])
+        if not isinstance(leaf, dict) or "scales" not in leaf:
+            continue
+        q = leaf.get("weight")
+        packed = (
+            getattr(q, "dtype", None) == jnp.uint8
+            and q.shape[-1] * 2 == leaf["scales"].shape[-1]
+        )
+        if not packed:
+            continue
+        heavy[path] = {k: leaf[k] for k in ("weight", "scales", "biases")}
+        parent[path[-1]] = {
+            k: v for k, v in leaf.items() if k not in ("weight", "scales", "biases")
+        }
+    return light, heavy
+
+
+def _dense_at(lp, heavy, path, x, layer_idx):
+    """Apply the linear at ``path``: stacked kernel when heavy, else dense."""
+    node = lp
+    for part in path:
+        node = node[part]
+    hv = heavy.get(path)
+    if hv is not None:
+        return dense_stacked(hv, node, x, layer_idx)
+    return dense(node, x)
 
 
 def _use_flash(lq: int, lk: int) -> bool:
@@ -148,40 +203,60 @@ def _qkv_split(cfg: ModelConfig, qkv):
 
 
 def _layer_step(
-    cfg: ModelConfig, x, lp, lkv, cos, sin, allowed, offset, n_beam, write,
-    valid=None,
+    cfg: ModelConfig, x, lp, kv_full, layer_idx, cos, sin, allowed, offset,
+    n_beam, write, valid=None, heavy=None,
 ):
     """One decoder block: pre-norm attn + pre-norm SwiGLU MLP with residuals
-    (reference Phi3DecoderLayer, phi.py:473-485)."""
+    (reference Phi3DecoderLayer, phi.py:473-485).
+
+    The cache is the full stacked (num_layers, ...) buffer carried through
+    the layer scan; this step writes only the fresh chunk's columns of its
+    layer (O(tokens), not O(window)) and reads its layer slice for attention.
+    """
     scale = cfg.head_dim**-0.5
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    qkv = dense(lp["self_attn"]["qkv_proj"], h)
+    qkv = _dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, layer_idx)
     q, k, v = _qkv_split(cfg, qkv)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
     if write:
-        lkv = write_kv(lkv, k, v, offset, cfg.kv_quant)
-        if lkv.quantized and valid is not None and _use_kv_kernel(q.shape[2]):
+        entries = quantize_chunk(k, v, cfg.kv_quant, kv_full.quantized)
+        kv_full = update_layer_chunk(kv_full, layer_idx, offset, entries)
+        if kv_full.quantized and valid is not None and _use_kv_kernel(q.shape[2]):
             # Decode over the quantized cache without materializing a
-            # dequantized copy (ops/kernels/kv_attention.py).
+            # dequantized copy (ops/kernels/kv_attention.py) — reads the
+            # stacked transposed cache in place.
             from ..ops.kernels.kv_attention import (
                 d_perm,
                 d_unperm,
                 quantized_kv_attention,
             )
 
-            groups = lkv.k_scales.shape[-1]
+            groups = kv_full.k_scales.shape[-2]
             perm = d_perm(q.shape[-1], groups)
             o_p = quantized_kv_attention(
                 q[..., perm],
-                lkv.k, lkv.k_scales, lkv.k_biases,
-                lkv.v, lkv.v_scales, lkv.v_biases,
-                valid, offset, scale=scale,
+                kv_full.k, kv_full.k_scales, kv_full.k_biases,
+                kv_full.v, kv_full.v_scales, kv_full.v_biases,
+                valid, offset, layer_idx, scale=scale,
             )
             o = o_p[..., d_unperm(q.shape[-1], groups)].astype(x.dtype)
+        elif (
+            not kv_full.quantized
+            and valid is not None
+            and _use_kv_kernel(q.shape[2])
+            and kv_full.k.shape[3] >= 2048  # long windows: slice copies hurt
+        ):
+            # Dense decode: read the stacked cache in place — no per-layer
+            # slice copies (ops/kernels/kv_attention.py:dense_kv_attention).
+            from ..ops.kernels.kv_attention import dense_kv_attention
+
+            o = dense_kv_attention(
+                q, kv_full.k, kv_full.v, valid, offset, layer_idx, scale=scale
+            ).astype(x.dtype)
         else:
-            kc, vc = read_kv(lkv, x.dtype)
+            kc, vc = read_kv(index_layer(kv_full, layer_idx), x.dtype)
             if valid is not None and _use_flash(q.shape[2], kc.shape[2]):
                 from ..ops.kernels.flash_attention import flash_attention
 
@@ -192,7 +267,7 @@ def _layer_step(
         # Beam / no-commit read path: repeat the shared cache n_beam x along
         # batch and append the fresh chunk (reference KVCache beam mode,
         # phi.py:523-527) — a pure read, the cache is untouched.
-        kc, vc = read_kv(lkv, x.dtype)
+        kc, vc = read_kv(index_layer(kv_full, layer_idx), x.dtype)
         if n_beam > 1:
             kc = jnp.repeat(kc, n_beam, axis=0)
             vc = jnp.repeat(vc, n_beam, axis=0)
@@ -202,30 +277,37 @@ def _layer_step(
 
     b, _, l, _ = q.shape
     o = o.transpose(0, 2, 1, 3).reshape(b, l, -1)
-    x = x + dense(lp["self_attn"]["o_proj"], o).astype(x.dtype)
+    x = x + _dense_at(lp, heavy, ("self_attn", "o_proj"), o, layer_idx).astype(x.dtype)
 
     h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    gate_up = dense(lp["mlp"]["gate_up_proj"], h)
+    gate_up = _dense_at(lp, heavy, ("mlp", "gate_up_proj"), h, layer_idx)
     gate, up = jnp.split(gate_up, 2, axis=-1)
-    mlp = dense(lp["mlp"]["down_proj"], jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+    mlp = _dense_at(
+        lp, heavy, ("mlp", "down_proj"),
+        jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer_idx,
+    )
     x = x + mlp.astype(x.dtype)
-    return x, lkv
+    return x, kv_full
 
 
 def _run_layers(
-    cfg, layer_params, x, layer_kv, cos, sin, allowed, offset, n_beam, write,
+    cfg, layer_params, x, kv: KVCache, cos, sin, allowed, offset, n_beam, write,
     valid=None,
 ):
-    def body(carry, xs):
-        lp, lkv = xs
-        y, new_lkv = _layer_step(
-            cfg, carry, lp, lkv, cos, sin, allowed, offset, n_beam, write,
-            valid=valid,
-        )
-        return y, new_lkv
+    nl = cfg.num_hidden_layers
+    light, heavy = _partition_heavy(layer_params)
 
-    x, new_kv = lax.scan(body, x, (layer_params, layer_kv))
-    return x, new_kv
+    def body(carry, xs):
+        y, kv = carry
+        lp, i = xs
+        y, kv = _layer_step(
+            cfg, y, lp, kv, i, cos, sin, allowed, offset, n_beam, write,
+            valid=valid, heavy=heavy,
+        )
+        return (y, kv), None
+
+    (x, kv), _ = lax.scan(body, (x, kv), (light, jnp.arange(nl)))
+    return x, kv
 
 
 # ---------------------------------------------------------------------------
@@ -292,12 +374,11 @@ def decode_forward(
             axis=-1,
         )
 
-    layer_kv = split_layers(state.kv)
-    x, new_layer_kv = _run_layers(
+    x, new_kv = _run_layers(
         cfg,
         mdl["layers"],
         x,
-        layer_kv,
+        state.kv,
         cos,
         sin,
         allowed,
@@ -312,7 +393,7 @@ def decode_forward(
 
     if write:
         new_offset = offset + (l if advance is None else advance)
-        new_state = state._replace(kv=merge_layers(new_layer_kv), offset=new_offset)
+        new_state = state._replace(kv=new_kv, offset=new_offset)
     else:
         new_state = state
     return ForwardResult(logits=logits, state=new_state)

@@ -48,11 +48,12 @@ def d_unperm(d: int, groups: int) -> np.ndarray:
 
 
 def _kernel(
-    x_ref,  # scalar prefetch: (2,) int32 [offset, lq]
-    q_ref,  # (1, rows, d) bf16 — permuted-D queries (g heads x Lq rows)
-    kq_ref,  # (1, blk, d) int8 payload (permuted D)
-    ks_ref,  # (1, blk, G) f32 scales
-    kb_ref,  # (1, blk, G) f32 biases
+    L_ref,  # scalar prefetch: (1,) int32 [layer]  (stacked cache)
+    off_ref,  # scalar prefetch: (1,) int32 [offset]
+    q_ref,  # (1, rows, d) bf16 — D-permuted queries (g heads x Lq rows)
+    kq_ref,  # (1, 1, 1, d, blk) uint8 payload, transposed + D-interleaved
+    ks_ref,  # (1, 1, 1, G, blk) bf16 scales
+    kb_ref,
     vq_ref,
     vs_ref,
     vb_ref,
@@ -67,7 +68,7 @@ def _kernel(
     lq: int,
     scale: float,
 ):
-    kv_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -76,27 +77,27 @@ def _kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     d = q_ref.shape[-1]
-    groups = ks_ref.shape[-1]
+    groups = ks_ref.shape[-2]
     reps = d // groups
 
-    def dequant(qp, s, b):
-        sf = pltpu.repeat(s, reps, 1).astype(jnp.float32)
-        bf = pltpu.repeat(b, reps, 1).astype(jnp.float32)
+    def dequant(qp, sc, bi):
+        # rows are group-interleaved (row r -> group r % G), so a sublane
+        # tile-repeat of the (G, blk) scales is the per-row scale matrix.
+        sf = pltpu.repeat(sc, reps, 0).astype(jnp.float32)
+        bf = pltpu.repeat(bi, reps, 0).astype(jnp.float32)
         return (qp.astype(jnp.int32).astype(jnp.float32) * sf + bf).astype(
             jnp.bfloat16
         )
 
-    k = dequant(kq_ref[0], ks_ref[0], kb_ref[0])  # (blk, d)
+    k_t = dequant(kq_ref[0, 0, 0], ks_ref[0, 0, 0], kb_ref[0, 0, 0])  # (d, blk)
     q = q_ref[0]  # (rows, d)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        q, k_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (rows, blk)
     s *= scale
 
-    # rows are (head-in-group, query) -> query index = row % lq
-    offset = x_ref[0]
     q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
-    q_pos = offset + q_rows
+    q_pos = off_ref[0] + q_rows
     key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * blk
     ok = (key_pos <= q_pos) & (valid_ref[0, 0][None, :] > 0)
     s = jnp.where(ok, s, NEG_INF)
@@ -112,13 +113,75 @@ def _kernel(
     )
     m_ref[...] = m_next
     l_ref[...] = l_next
-    v = dequant(vq_ref[0], vs_ref[0], vb_ref[0])
+    v_t = dequant(vq_ref[0, 0, 0], vs_ref[0, 0, 0], vb_ref[0, 0, 0])  # (d, blk)
+    # o += p @ v: contract the blk dim of both (no transposes needed)
+    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
+        p.astype(v_t.dtype), v_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _store():
+        l = l_ref[...][:, : acc_ref.shape[1]]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def _dense_kernel(
+    x_ref,  # scalar prefetch: (1,) int32 [layer]
+    off_ref,  # scalar prefetch: (1,) int32 [offset]
+    q_ref,  # (1, rows, d)
+    k_ref,  # (1, 1, 1, blk, d) — block of the stacked cache
+    v_ref,
+    valid_ref,  # (1, 1, blk) int32
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    blk: int,
+    g: int,
+    lq: int,
+    scale: float,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0, 0, 0].astype(jnp.bfloat16)  # (blk, d)
+    q = q_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s *= scale
+    q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
+    q_pos = off_ref[0] + q_rows
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * blk
+    ok = (key_pos <= q_pos) & (valid_ref[0, 0][None, :] > 0)
+    s = jnp.where(ok, s, NEG_INF)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+    )
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+    v = v_ref[0, 0, 0].astype(jnp.bfloat16)
     acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(kv_idx == pl.num_programs(1) - 1)
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _store():
         l = l_ref[...][:, : acc_ref.shape[1]]
         l = jnp.where(l == 0.0, 1.0, l)
@@ -126,64 +189,55 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_k"))
-def quantized_kv_attention(
-    q, kq, ks, kb, vq, vs, vb, valid, offset, *, scale: float, block_k: int = 512
+def dense_kv_attention(
+    q, k_stack, v_stack, valid, offset, layer_idx, *, scale: float, block_k: int = 512
 ):
-    """Decode attention reading the quantized cache directly.
+    """Decode attention reading layer ``layer_idx`` of the *stacked* dense
+    cache in place — no per-layer cache slice is ever materialized.
 
-    Args:
-      q: (B, H, Lq, D) queries, already D-permuted (see module docstring).
-      kq/vq: (B, KV, Lmax, D) int8 payloads (D-permuted).
-      ks/kb/vs/vb: (B, KV, Lmax, G) float32 scales/biases.
-      valid: (B, Lmax) bool.
-      offset: () int32 — absolute position of the first query.
-    Returns: (B, H, Lq, D) in q.dtype, still D-permuted.
+    q: (B, H, Lq, D); k_stack/v_stack: (nl, B, KV, Lmax, D); valid: (B, Lmax).
     """
     b, h, lq, d = q.shape
-    _, kvh, lmax, _ = kq.shape
+    nl, _, kvh, lmax, _ = k_stack.shape
     g = h // kvh
     blk = next(
-        bb for bb in (block_k, 256, 128, 64, lmax) if bb <= lmax and lmax % bb == 0
+        bb for bb in (block_k, 256, 128, lmax) if bb <= lmax and lmax % bb == 0
     )
 
-    # rows = g heads x lq queries, padded to the sublane tile
     rows = g * lq
     rows_pad = max(8, -(-rows // 8) * 8)
-    qr = (
-        q.reshape(b, kvh, g, lq, d)
-        .reshape(b * kvh, g * lq, d)
-        .astype(jnp.bfloat16)
-    )
+    qr = q.reshape(b, kvh, g, lq, d).reshape(b * kvh, g * lq, d).astype(jnp.bfloat16)
     if rows_pad != rows:
         qr = jnp.pad(qr, [(0, 0), (0, rows_pad - rows), (0, 0)])
-
-    kqr = kq.reshape(b * kvh, lmax, d)
-    vqr = vq.reshape(b * kvh, lmax, d)
-    gq = ks.shape[-1]
-    ksr = ks.reshape(b * kvh, lmax, gq)
-    kbr = kb.reshape(b * kvh, lmax, gq)
-    vsr = vs.reshape(b * kvh, lmax, gq)
-    vbr = vb.reshape(b * kvh, lmax, gq)
     validr = jnp.repeat(valid.astype(jnp.int32), kvh, axis=0)[:, None, :]
 
-    grid = (b * kvh, lmax // blk)
+    grid = (b, kvh, lmax // blk)
     out = pl.pallas_call(
-        functools.partial(_kernel, blk=blk, g=g, lq=lq, scale=scale),
+        functools.partial(_dense_kernel, blk=blk, g=g, lq=lq, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * kvh, rows_pad, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, rows_pad, d), lambda bh, j, xp: (bh, 0, 0)),
-                pl.BlockSpec((1, blk, d), lambda bh, j, xp: (bh, j, 0)),
-                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
-                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
-                pl.BlockSpec((1, blk, d), lambda bh, j, xp: (bh, j, 0)),
-                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
-                pl.BlockSpec((1, blk, gq), lambda bh, j, xp: (bh, j, 0)),
-                pl.BlockSpec((1, 1, blk), lambda bh, j, xp: (bh, 0, j)),
+                pl.BlockSpec(
+                    (1, rows_pad, d),
+                    lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, blk, d), lambda bi, hi, j, L, O: (L[0], bi, hi, j, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, blk, d), lambda bi, hi, j, L, O: (L[0], bi, hi, j, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, blk),
+                    lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, j),
+                ),
             ],
-            out_specs=pl.BlockSpec((1, rows_pad, d), lambda bh, j, xp: (bh, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (1, rows_pad, d),
+                lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, 0),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((rows_pad, 128), jnp.float32),
                 pltpu.VMEM((rows_pad, 128), jnp.float32),
@@ -191,8 +245,110 @@ def quantized_kv_attention(
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(jnp.stack([jnp.asarray(offset, jnp.int32), jnp.int32(lq)]), qr, kqr, ksr, kbr, vqr, vsr, vbr, validr)
-    out = out[:, :rows].reshape(b, kvh, g, lq, d).reshape(b, h, lq, d)
-    return out
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        qr,
+        k_stack,
+        v_stack,
+        validr,
+    )
+    return out[:, :rows].reshape(b, kvh, g, lq, d).reshape(b, h, lq, d)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k"))
+def quantized_kv_attention(
+    q, kq, ks, kb, vq, vs, vb, valid, offset, layer_idx, *, scale: float,
+    block_k: int = 2048,
+):
+    """Decode attention reading layer ``layer_idx`` of the *stacked*
+    quantized cache directly (transposed storage; see module docstring).
+
+    q: (B, H, Lq, D) queries, already D-permuted.
+    kq/vq: (nl, B, KV, D, Lmax) uint8 payloads (transposed, D-interleaved).
+    ks/kb/vs/vb: (nl, B, KV, G, Lmax) bf16 scales/biases.
+    valid: (B, Lmax) bool.  offset: () int32.  layer_idx: () int32.
+    Returns: (B, H, Lq, D) in q.dtype, still D-permuted.
+    """
+    b, h, lq, d = q.shape
+    nl, _, kvh, _, lmax = kq.shape
+    g = h // kvh
+    blk = next(
+        bb
+        for bb in (block_k, 1024, 512, 256, 128, lmax)
+        if bb <= lmax and lmax % bb == 0
+    )
+    gq = ks.shape[-2]
+
+    rows = g * lq
+    rows_pad = max(8, -(-rows // 8) * 8)
+    qr = q.reshape(b, kvh, g, lq, d).reshape(b * kvh, g * lq, d).astype(jnp.bfloat16)
+    if rows_pad != rows:
+        qr = jnp.pad(qr, [(0, 0), (0, rows_pad - rows), (0, 0)])
+    validr = jnp.repeat(valid.astype(jnp.int32), kvh, axis=0)[:, None, :]
+
+    grid = (b, kvh, lmax // blk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, blk=blk, g=g, lq=lq, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * kvh, rows_pad, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows_pad, d),
+                    lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, d, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, d, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 1, blk),
+                    lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, j),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_pad, d),
+                lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        qr,
+        kq,
+        ks,
+        kb,
+        vq,
+        vs,
+        vb,
+        validr,
+    )
+    return out[:, :rows].reshape(b, kvh, g, lq, d).reshape(b, h, lq, d)

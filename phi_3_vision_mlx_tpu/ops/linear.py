@@ -103,18 +103,65 @@ def dense(p: dict, x, *, lora_scale: float = 1.0, dropout_mask=None):
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     if "lora_a" in p:
-        xa = x if dropout_mask is None else x * dropout_mask
-        z = jnp.matmul(
-            jnp.matmul(
-                xa.astype(jnp.float32),
-                p["lora_a"].astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-            ),
-            p["lora_b"].astype(jnp.float32),
+        y = _apply_lora(p, x, y, lora_scale, dropout_mask)
+    return y
+
+
+def _apply_lora(p: dict, x, y, lora_scale: float = 1.0, dropout_mask=None):
+    """y + scale * (x @ A) @ B (reference LoRALinear, phi.py:129-133)."""
+    xa = x if dropout_mask is None else x * dropout_mask
+    z = jnp.matmul(
+        jnp.matmul(
+            xa.astype(jnp.float32),
+            p["lora_a"].astype(jnp.float32),
             precision=jax.lax.Precision.HIGHEST,
+        ),
+        p["lora_b"].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scale = p.get("lora_scale", lora_scale)
+    if hasattr(scale, "dtype"):
+        scale = jax.lax.stop_gradient(scale).astype(jnp.float32)
+    return (y.astype(jnp.float32) + scale * z).astype(x.dtype)
+
+
+def dense_stacked(heavy: dict, light: dict, x, layer_idx):
+    """Linear over layer ``layer_idx`` of *stacked* quantized weights.
+
+    ``heavy``: {'weight': (nl, K, N//2) packed uint8 | (nl, K, N) int8,
+    'scales'/'biases': (nl, K//g, N)} — kept out of the layer scan so no
+    per-layer weight copies are ever materialized (the Pallas kernel's
+    BlockSpec index map selects the layer in HBM).  ``light`` holds the
+    per-layer LoRA leaves (already sliced by the scan), applied on top.
+    """
+    q = heavy["weight"]
+    n_scales = heavy["scales"].shape[-1]
+    packed = q.dtype == jnp.uint8 and q.shape[-1] * 2 == n_scales
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    kdim = x.shape[-1]
+    group = kdim // heavy["scales"].shape[-2]
+    if packed and rows <= 256:
+        from .kernels.quant_matmul import (
+            permute_activation,
+            quant_matmul_packed_stacked,
         )
-        scale = p.get("lora_scale", lora_scale)
-        if hasattr(scale, "dtype"):
-            scale = jax.lax.stop_gradient(scale).astype(jnp.float32)
-        y = (y.astype(jnp.float32) + scale * z).astype(x.dtype)
+
+        xp = permute_activation(x.reshape(-1, kdim), group)
+        y = quant_matmul_packed_stacked(
+            xp, q, heavy["scales"], heavy["biases"], layer_idx, out_dtype=x.dtype
+        )
+        y = y.reshape(*lead, y.shape[-1])
+    else:
+        node = {
+            k: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
+            for k, v in heavy.items()
+        }
+        if light:
+            node = {**node, **light}
+        return dense(node, x)
+    if light and "lora_a" in light:
+        y = _apply_lora(light, x, y)
     return y

@@ -135,7 +135,7 @@ def test_quantized_cache_close_to_dense(params):
     cfg8 = CFG.replace(use_quantized_cache=True, kv_quant=KVQuantConfig(bits=8))
     q8 = np.asarray(phi3.prefill(params, cfg8, ids, max_tokens=2).logits)[:, -1]
     assert np.argmax(d) == np.argmax(q8)
-    assert np.mean(np.abs(d - q8)) / (np.mean(np.abs(d)) + 1e-9) < 0.02
+    assert np.mean(np.abs(d - q8)) / (np.mean(np.abs(d)) + 1e-9) < 0.03  # incl. bf16 scale storage
     # int4 group-32 (reference parity mode, phi.py:532): bounded error.
     cfg4 = CFG.replace(use_quantized_cache=True)
     q4 = np.asarray(phi3.prefill(params, cfg4, ids, max_tokens=2).logits)[:, -1]
