@@ -87,16 +87,24 @@ def _format_benchmark(json_path="benchmark.json"):
 def benchmark(blind_model: bool = False, json_path: str = "benchmark.json",
               max_tokens: int = 100, train_first: bool = True,
               dataset_path: str = "JosefAlbers/akemiH_MedQA_Reason"):
+    import os
+
     from .api import (
         PATH_ORIGINAL_PHI3_BLIND,
         PATH_ORIGINAL_PHI3_VISION,
         PATH_QUANTIZED_PHI3_BLIND,
         PATH_QUANTIZED_PHI3_VISION,
+        _setup,
         generate,
         load,
     )
     from .train.trainer import train_lora
 
+    if not (
+        os.path.exists(PATH_ORIGINAL_PHI3_VISION)
+        and os.path.exists(PATH_ORIGINAL_PHI3_BLIND)
+    ):
+        _setup()
     if train_first:
         for path in [
             PATH_ORIGINAL_PHI3_VISION,

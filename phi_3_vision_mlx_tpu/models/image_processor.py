@@ -55,9 +55,9 @@ def interpolate_336(x: np.ndarray) -> np.ndarray:
     np.einsum without ``optimize`` falls back to the full O(N^4) loop nest.
     """
     n, c, h, w = x.shape
-    gh = _resize_matrix(336 / h, 336, h)
-    gw = _resize_matrix(336 / w, 336, w)
-    xf = x.astype(np.float64).reshape(n * c, h, w)
+    gh = _resize_matrix(336 / h, 336, h).astype(np.float32)
+    gw = _resize_matrix(336 / w, 336, w).astype(np.float32)
+    xf = np.ascontiguousarray(x, np.float32).reshape(n * c, h, w)
     out = gh @ xf @ gw.T  # (n*c, 336, 336)
     return out.reshape(n, c, 336, 336).astype(x.dtype)
 
@@ -70,6 +70,9 @@ class Phi3VImageProcessor:
 
     def __call__(self, images) -> dict:
         from PIL import Image, ImageOps
+
+        mean = self.image_mean.astype(np.float32)
+        std_inv = (1.0 / self.image_std).astype(np.float32)
 
         def hd_transform(img):
             img = img.convert("RGB")
@@ -93,36 +96,31 @@ class Phi3VImageProcessor:
             img = pad_to_336(img)
             if trans:
                 img = img.transpose(Image.TRANSPOSE)
-            arr = (np.asarray(img) / 255.0 - self.image_mean) / self.image_std
+            # single-precision normalize (the f64 default costs seconds/host)
+            arr = np.asarray(img, np.float32)
+            arr = (arr * np.float32(1 / 255.0) - mean) * std_inv
             return arr.transpose(2, 0, 1)  # (3, H, W)
 
-        def pad_to_max_crops(imgs, max_crops=17):
-            b, _, h, w = imgs.shape
-            if b < max_crops:
-                imgs = np.concatenate(
-                    [imgs, np.zeros((max_crops - b, 3, h, w))], axis=0
-                )
-            return imgs
-
+        max_crops = 17
         hd_images = [hd_transform(img) for img in images]
         shapes = [[im.shape[1], im.shape[2]] for im in hd_images]
         num_img_tokens = [
             int((h // 336 * w // 336 + 1) * 144 + 1 + (h // 336 + 1) * 12)
             for h, w in shapes
         ]
-        global_image = [interpolate_336(im[None]) for im in hd_images]
-        hd_reshaped = [
-            im.reshape(1, 3, h // 336, 336, w // 336, 336)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(-1, 3, 336, 336)
-            for im, (h, w) in zip(hd_images, shapes)
-        ]
-        hd_reshaped = [
-            np.concatenate([g, im], axis=0) for g, im in zip(global_image, hd_reshaped)
-        ]
-        pixel_values = np.stack([pad_to_max_crops(im) for im in hd_reshaped], axis=0)
+        pixel_values = np.zeros(
+            (len(hd_images), max_crops, 3, 336, 336), np.float32
+        )
+        for i, (im, (h, w)) in enumerate(zip(hd_images, shapes)):
+            pixel_values[i, 0] = interpolate_336(im[None])[0]
+            crops = (
+                im.reshape(3, h // 336, 336, w // 336, 336)
+                .transpose(1, 3, 0, 2, 4)
+                .reshape(-1, 3, 336, 336)
+            )
+            pixel_values[i, 1 : 1 + crops.shape[0]] = crops
         return {
-            "pixel_values": pixel_values.astype(np.float32),
+            "pixel_values": pixel_values,
             "image_sizes": shapes,
             "num_img_tokens": num_img_tokens,
         }

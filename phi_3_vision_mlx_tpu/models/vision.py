@@ -176,6 +176,35 @@ def _project(vparams, x):
     return dense(vparams["img_projection"]["2"], x)
 
 
+# One compiled pipeline per (h, w) crop-grid shape: CLIP tower + 2x2 pooling
+# + separators + projection all under a single jit — the eager op-by-op path
+# cost ~50 s per image through the remote-dispatch tunnel.
+_IMG_JIT_CACHE: dict = {}
+
+
+def _image_pipeline(vparams, vcfg: ClipVisionConfig, image_dim_out: int,
+                    crops_nchw, h: int, w: int):
+    crops = jnp.asarray(crops_nchw).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    feats = clip_vision_forward(vparams, vcfg, crops)  # (17, 576, C)
+    c = image_dim_out
+    hh = int(feats.shape[1] ** 0.5)  # 24
+    nb = h * w
+
+    def reshape_concat(img, shape, tile_shape):
+        x = img.reshape(shape).transpose(0, 1, 3, 2, 4, 5).reshape(tile_shape)
+        sub = jnp.tile(vparams["sub_GN"], (1, tile_shape[1], 1, 1))
+        return jnp.concatenate([x, sub], axis=2).reshape(1, -1, 4 * c)
+
+    glb = reshape_concat(
+        feats[:1], (1, hh // 2, 2, hh // 2, 2, c), (1, hh // 2, hh // 2, 4 * c)
+    )
+    sub = reshape_concat(
+        feats[1 : nb + 1], (nb, hh // 2, 2, hh // 2, 2, c), (1, h * 12, w * 12, 4 * c)
+    )
+    x = jnp.concatenate([sub, vparams["glb_GN"], glb], axis=1)
+    return _project(vparams, x)
+
+
 def compute_image_embeds(params: dict, cfg: ModelConfig, pixel_values, image_sizes):
     """(B, 17, 3, 336, 336) crops -> list of (1, n_tokens_i, hidden) features.
 
@@ -185,30 +214,18 @@ def compute_image_embeds(params: dict, cfg: ModelConfig, pixel_values, image_siz
     vcfg = cfg.vision
     b = pixel_values.shape[0]
     sizes = (np.asarray(image_sizes) // 336).tolist()
-    crops = jnp.asarray(pixel_values).reshape(-1, *pixel_values.shape[2:])
-    crops = crops.transpose(0, 2, 3, 1)  # NCHW -> NHWC
-    feats = clip_vision_forward(vparams, vcfg, crops)
-    feats = feats.reshape(b, -1, *feats.shape[1:])  # (B, 17, 576, C)
-    c = cfg.image_dim_out
-    hh = int(feats.shape[2] ** 0.5)  # 24
+    pixel_values = np.asarray(pixel_values)
     outs = []
     for i in range(b):
-        h, w = sizes[i]
-        nb = h * w
-
-        def reshape_concat(img, shape, tile_shape):
-            x = img.reshape(shape).transpose(0, 1, 3, 2, 4, 5).reshape(tile_shape)
-            sub = jnp.tile(vparams["sub_GN"], (1, tile_shape[1], 1, 1))
-            return jnp.concatenate([x, sub], axis=2).reshape(1, -1, 4 * c)
-
-        glb = reshape_concat(
-            feats[i, :1], (1, hh // 2, 2, hh // 2, 2, c), (1, hh // 2, hh // 2, 4 * c)
-        )
-        sub = reshape_concat(
-            feats[i, 1 : nb + 1], (nb, hh // 2, 2, hh // 2, 2, c), (1, h * 12, w * 12, 4 * c)
-        )
-        x = jnp.concatenate([sub, vparams["glb_GN"], glb], axis=1)
-        outs.append(_project(vparams, x))
+        h, w = int(sizes[i][0]), int(sizes[i][1])
+        key = (cfg.architecture, h, w, pixel_values.shape[1])
+        if key not in _IMG_JIT_CACHE:
+            _IMG_JIT_CACHE[key] = jax.jit(
+                lambda vp, cr, _h=h, _w=w: _image_pipeline(
+                    vp, vcfg, cfg.image_dim_out, cr, _h, _w
+                )
+            )
+        outs.append(_IMG_JIT_CACHE[key](vparams, jnp.asarray(pixel_values[i])))
     return outs
 
 

@@ -150,3 +150,30 @@ def test_train_lora_with_mask_ratios(ckpt, tmp_path, monkeypatch):
         mask_ratios=[0.1],
     )
     assert os.path.exists(f"{adapter}/adapters.safetensors")
+
+
+def test_train_lora_over_quantized_base(ckpt, tmp_path, monkeypatch):
+    """LoRA over a 4-bit quantized base (reference LoRALinear.from_linear on
+    nn.QuantizedLinear, phi.py:93-95): gradients flow through the dequantized
+    base; adapters save/load in the same format."""
+    from phi_3_vision_mlx_tpu.train.trainer import train_lora
+    from phi_3_vision_mlx_tpu.core import weights as W
+
+    monkeypatch.chdir(tmp_path)
+    qpath = str(tmp_path / "tiny_q_lora")
+    W.quantize_checkpoint(ckpt, qpath)
+    adapter = str(tmp_path / "adapters" / "tiny_q")
+    train_lora(
+        model_path=qpath, adapter_path=adapter, lora_layers=2, lora_rank=2,
+        epochs=1, batch_size=1, take=2, dataset_path="synthetic",
+    )
+    assert os.path.exists(f"{adapter}/adapters.safetensors")
+    lm, proc = _load(qpath, adapter_path=adapter)
+    assert lm.cfg.quantized is not None
+    assert "lora_a" in lm.params["model"]["layers"]["self_attn"]["qkv_proj"]
+    from phi_3_vision_mlx_tpu.api import generate
+
+    out = generate(
+        "Q", preload=(lm, proc), max_tokens=4, verbose=False, stream=False, mute=True
+    )
+    assert isinstance(out, list)
