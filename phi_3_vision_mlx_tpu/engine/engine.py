@@ -84,6 +84,38 @@ class LM:
 
         return self._fn(("prefill", b, l, window, embeds), build)
 
+    def prefill_vision_fn(self, b: int, l: int, window: int, img_lens: tuple):
+        """Fused embed + image-feature scatter + prefill — one device call
+        (the eager scatter/gather path costs ~100 ms/op through remote
+        dispatch).  ``img_lens``: static per-image token counts; each image's
+        features are scattered at its own (row, col)."""
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids, img_feats, rows, cols, pids, valid):
+                from ..ops.linear import embedding
+
+                emb = embedding(
+                    params["model"]["embed_tokens"], jnp.maximum(ids, 0)
+                ).astype(jnp.dtype(cfg.dtype))
+                off = 0
+                for i, n in enumerate(img_lens):
+                    emb = lax.dynamic_update_slice(
+                        emb,
+                        img_feats[:, off : off + n].astype(emb.dtype),
+                        (rows[i], cols[i], 0),
+                    )
+                    off += n
+                res = phi3.prefill(
+                    params, cfg, None, max_tokens=window - l, pids=pids,
+                    prompt_valid=valid, inputs_embeds=emb,
+                )
+                return res.logits[:, -1, :].astype(jnp.float32), res.state
+
+            return f
+
+        return self._fn(("prefill_v", b, l, window, img_lens), build)
+
     def extend_fn(self, b: int, l: int, window: int):
         """Feed an additional committed prompt chunk (chunked prefill)."""
         cfg = self.cfg
@@ -221,6 +253,33 @@ def run_prefill(lm: LM, dict_input: dict, max_tokens: int, inputs_embeds=None):
         logits, state = fn(lm.params, inputs_embeds, jnp.asarray(pids_p), jnp.asarray(valid_p))
         return logits, state, l_pad, window
 
+    if dict_input.get("pixel_values") is not None:
+        # Vision prompt: image features from the jitted per-image pipeline,
+        # then one fused embed+scatter+prefill call.
+        from ..models.vision import compute_image_embeds
+
+        feats = compute_image_embeds(
+            lm.params, lm.cfg, dict_input["pixel_values"], dict_input["image_sizes"]
+        )
+        img_feats = jnp.concatenate(feats, axis=1)  # (1, total_img_tokens, E)
+        img_lens = tuple(int(f.shape[1]) for f in feats)
+        positions = np.asarray(dict_input["positions"])
+        pad = l_pad - l
+        # first placeholder position of each image run (reference scatter,
+        # phi.py:412-415)
+        rows, cols, idx = [], [], 0
+        for n in img_lens:
+            rows.append(int(positions[idx][0]))
+            cols.append(int(positions[idx][1]) + pad)
+            idx += n
+        fn = lm.prefill_vision_fn(b, l_pad, window, img_lens)
+        logits, state = fn(
+            lm.params, jnp.asarray(ids_p), img_feats,
+            jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
+            jnp.asarray(pids_p), jnp.asarray(valid_p),
+        )
+        return logits, state, l_pad, window
+
     if l_pad <= PREFILL_CHUNK:
         fn = lm.prefill_fn(b, l_pad, window)
         logits, state = fn(
@@ -273,11 +332,7 @@ def generate_text(
     dict_input = processor(prompt, images)
     b = int(np.asarray(dict_input["input_ids"]).shape[0])
 
-    inputs_embeds = None
-    if dict_input.get("pixel_values") is not None:
-        from ..models.vision import compute_inputs_embeds
-
-        inputs_embeds = compute_inputs_embeds(lm.params, lm.cfg, dict_input)
+    inputs_embeds = None  # vision prompts are fused inside run_prefill
 
     logit_stopper = LogitStopper(max_tokens, early_stop)
     token_stopper = TokenStopper(b, lm.eos_id)
