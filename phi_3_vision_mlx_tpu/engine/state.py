@@ -47,7 +47,7 @@ class KVCache(NamedTuple):
     """
 
     k: jax.Array
-    v: jax.Array
+    v: Optional[jax.Array] = None
     k_scales: Optional[jax.Array] = None
     k_biases: Optional[jax.Array] = None
     v_scales: Optional[jax.Array] = None
@@ -125,16 +125,13 @@ def init_state(
         # and the transposed form lets the Pallas kernel expand per-group
         # scales with a sublane tile-repeat (ops/kernels/kv_attention.py).
         # bf16 scale/bias; kernels and the XLA path accumulate in f32.
+        # Fused tensors, one DMA each in the decode kernel: ``k`` holds the
+        # k payload rows stacked over the v payload rows (2D, L); ``k_scales``
+        # holds [k_scale; k_bias; v_scale; v_bias] rows (4G, L).
         nl_, b_, kvh_, l_, d_ = shape
-        tshape = (nl_, b_, kvh_, d_, l_)
-        sshape = (nl_, b_, kvh_, groups, l_)
         kv = KVCache(
-            k=jnp.zeros(tshape, jnp.uint8),
-            v=jnp.zeros(tshape, jnp.uint8),
-            k_scales=jnp.zeros(sshape, jnp.bfloat16),
-            k_biases=jnp.zeros(sshape, jnp.bfloat16),
-            v_scales=jnp.zeros(sshape, jnp.bfloat16),
-            v_biases=jnp.zeros(sshape, jnp.bfloat16),
+            k=jnp.zeros((nl_, b_, kvh_, 2 * d_, l_), jnp.uint8),
+            k_scales=jnp.zeros((nl_, b_, kvh_, 4 * groups, l_), jnp.bfloat16),
         )
     else:
         kv = KVCache(k=jnp.zeros(shape, compute_dtype), v=jnp.zeros(shape, compute_dtype))
@@ -193,7 +190,7 @@ class LayerKV(NamedTuple):
     leading layer axis)."""
 
     k: jax.Array
-    v: jax.Array
+    v: Optional[jax.Array] = None
     k_scales: Optional[jax.Array] = None
     k_biases: Optional[jax.Array] = None
     v_scales: Optional[jax.Array] = None
@@ -218,10 +215,9 @@ def quantize_chunk(k_new, v_new, kvq: KVQuantConfig, quantized: bool):
     vq, vs, vb = _kv_quantize(v_new, kvq)
     perm = d_perm(kq.shape[-1], ks.shape[-1])
     t = lambda a: jnp.swapaxes(a, -1, -2)
-    return LayerKV(
-        k=t(kq[..., perm]), v=t(vq[..., perm]),
-        k_scales=t(ks), k_biases=t(kb), v_scales=t(vs), v_biases=t(vb),
-    )
+    payload = jnp.concatenate([t(kq[..., perm]), t(vq[..., perm])], axis=-2)
+    scales = jnp.concatenate([t(ks), t(kb), t(vs), t(vb)], axis=-2)
+    return LayerKV(k=payload, k_scales=scales)
 
 
 def index_layer(kv: KVCache, i) -> LayerKV:
@@ -244,7 +240,7 @@ def update_layer_chunk(kv: KVCache, i, offset, entries: LayerKV) -> KVCache:
     quantized = kv.quantized
 
     def upd(full, chunk):
-        if full is None:
+        if full is None or chunk is None:
             return None
         idx = (i, 0, 0, 0, offset) if quantized else (i, 0, 0, offset, 0)
         return lax.dynamic_update_slice(full, chunk[None].astype(full.dtype), idx)
@@ -269,12 +265,13 @@ def read_kv(lkv: LayerKV, dtype):
         from ..ops.kernels.kv_attention import d_unperm
 
         t = lambda a: jnp.swapaxes(a, -1, -2)  # transposed storage -> (L, D)
-        unperm = d_unperm(lkv.k.shape[-2], lkv.k_scales.shape[-2])
-        k = _kv_dequantize(
-            t(lkv.k)[..., unperm], t(lkv.k_scales), t(lkv.k_biases), dtype
-        )
-        v = _kv_dequantize(
-            t(lkv.v)[..., unperm], t(lkv.v_scales), t(lkv.v_biases), dtype
-        )
+        d = lkv.k.shape[-2] // 2
+        g = lkv.k_scales.shape[-2] // 4
+        unperm = d_unperm(d, g)
+        kq, vq = lkv.k[..., :d, :], lkv.k[..., d:, :]
+        sc = lkv.k_scales
+        ks, kb, vs, vb = (sc[..., i * g : (i + 1) * g, :] for i in range(4))
+        k = _kv_dequantize(t(kq)[..., unperm], t(ks), t(kb), dtype)
+        v = _kv_dequantize(t(vq)[..., unperm], t(vs), t(vb), dtype)
         return k, v
     return lkv.k.astype(dtype), lkv.v.astype(dtype)

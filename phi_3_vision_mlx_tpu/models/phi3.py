@@ -233,12 +233,10 @@ def _layer_step(
                 quantized_kv_attention,
             )
 
-            groups = kv_full.k_scales.shape[-2]
+            groups = kv_full.k_scales.shape[-2] // 4
             perm = d_perm(q.shape[-1], groups)
             o_p = quantized_kv_attention(
-                q[..., perm],
-                kv_full.k, kv_full.k_scales, kv_full.k_biases,
-                kv_full.v, kv_full.v_scales, kv_full.v_biases,
+                q[..., perm], kv_full.k, kv_full.k_scales,
                 valid, offset, layer_idx, scale=scale,
             )
             o = o_p[..., d_unperm(q.shape[-1], groups)].astype(x.dtype)

@@ -51,12 +51,8 @@ def _kernel(
     L_ref,  # scalar prefetch: (1,) int32 [layer]  (stacked cache)
     off_ref,  # scalar prefetch: (1,) int32 [offset]
     q_ref,  # (1, rows, d) bf16 — D-permuted queries (g heads x Lq rows)
-    kq_ref,  # (1, 1, 1, d, blk) uint8 payload, transposed + D-interleaved
-    ks_ref,  # (1, 1, 1, G, blk) bf16 scales
-    kb_ref,
-    vq_ref,
-    vs_ref,
-    vb_ref,
+    kv_ref,  # (1, 1, 1, 2d, blk) uint8 fused [k; v] payload (D-interleaved)
+    sc_ref,  # (1, 1, 1, 4G, blk) bf16 fused [ks; kb; vs; vb]
     valid_ref,  # (1, 1, blk) int32
     o_ref,  # (1, rows, d)
     m_ref,
@@ -77,19 +73,23 @@ def _kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     d = q_ref.shape[-1]
-    groups = ks_ref.shape[-2]
+    groups = sc_ref.shape[-2] // 4
     reps = d // groups
+    payload = kv_ref[0, 0, 0]  # (2d, blk) — one DMA for k and v
+    sc = sc_ref[0, 0, 0]  # (4G, blk) — one DMA for all scales/biases
 
-    def dequant(qp, sc, bi):
+    def dequant(qp, scs, bis):
         # rows are group-interleaved (row r -> group r % G), so a sublane
         # tile-repeat of the (G, blk) scales is the per-row scale matrix.
-        sf = pltpu.repeat(sc, reps, 0).astype(jnp.float32)
-        bf = pltpu.repeat(bi, reps, 0).astype(jnp.float32)
+        sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
+        bf = pltpu.repeat(bis, reps, 0).astype(jnp.float32)
         return (qp.astype(jnp.int32).astype(jnp.float32) * sf + bf).astype(
             jnp.bfloat16
         )
 
-    k_t = dequant(kq_ref[0, 0, 0], ks_ref[0, 0, 0], kb_ref[0, 0, 0])  # (d, blk)
+    k_t = dequant(
+        payload[:d], sc[:groups], sc[groups : 2 * groups]
+    )  # (d, blk)
     q = q_ref[0]  # (rows, d)
     s = jax.lax.dot_general(
         q, k_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -113,7 +113,9 @@ def _kernel(
     )
     m_ref[...] = m_next
     l_ref[...] = l_next
-    v_t = dequant(vq_ref[0, 0, 0], vs_ref[0, 0, 0], vb_ref[0, 0, 0])  # (d, blk)
+    v_t = dequant(
+        payload[d:], sc[2 * groups : 3 * groups], sc[3 * groups :]
+    )  # (d, blk)
     # o += p @ v: contract the blk dim of both (no transposes needed)
     acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
         p.astype(v_t.dtype), v_t, (((1,), (1,)), ((), ())),
@@ -261,27 +263,27 @@ def dense_kv_attention(
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_k"))
 def quantized_kv_attention(
-    q, kq, ks, kb, vq, vs, vb, valid, offset, layer_idx, *, scale: float,
+    q, kv_payload, kv_scales, valid, offset, layer_idx, *, scale: float,
     block_k: int = 2048,
 ):
     """Decode attention reading layer ``layer_idx`` of the *stacked*
     quantized cache directly (transposed storage; see module docstring).
 
     q: (B, H, Lq, D) queries, already D-permuted.
-    kq/vq: (nl, B, KV, D, Lmax) uint8 payloads (transposed, D-interleaved).
-    ks/kb/vs/vb: (nl, B, KV, G, Lmax) bf16 scales/biases.
+    kv_payload: (nl, B, KV, 2D, Lmax) uint8 fused [k; v] payload.
+    kv_scales: (nl, B, KV, 4G, Lmax) bf16 fused [ks; kb; vs; vb].
     valid: (B, Lmax) bool.  offset: () int32.  layer_idx: () int32.
     Returns: (B, H, Lq, D) in q.dtype, still D-permuted.
     """
     b, h, lq, d = q.shape
-    nl, _, kvh, _, lmax = kq.shape
+    nl, _, kvh, _, lmax = kv_payload.shape
     g = h // kvh
     blk = next(
         bb
         for bb in (block_k, 1024, 512, 256, 128, lmax)
         if bb <= lmax and lmax % bb == 0
     )
-    gq = ks.shape[-2]
+    gq4 = kv_scales.shape[-2]
 
     rows = g * lq
     rows_pad = max(8, -(-rows // 8) * 8)
@@ -303,22 +305,12 @@ def quantized_kv_attention(
                     lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, 1, d, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                    (1, 1, 1, 2 * d, blk),
+                    lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j),
                 ),
                 pl.BlockSpec(
-                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, d, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, gq, blk), lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j)
+                    (1, 1, 1, gq4, blk),
+                    lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j),
                 ),
                 pl.BlockSpec(
                     (1, 1, blk),
@@ -343,12 +335,8 @@ def quantized_kv_attention(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         jnp.asarray(offset, jnp.int32).reshape(1),
         qr,
-        kq,
-        ks,
-        kb,
-        vq,
-        vs,
-        vb,
+        kv_payload,
+        kv_scales,
         validr,
     )
     return out[:, :rows].reshape(b, kvh, g, lq, d).reshape(b, h, lq, d)
