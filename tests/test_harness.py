@@ -82,3 +82,24 @@ def test_http_server(ckpt):
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    """Full train-state checkpoint/resume (improvement over the reference,
+    which saves only adapter weights — SURVEY.md §5)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from phi_3_vision_mlx_tpu.train import checkpoint as C
+
+    mgr = C.make_manager(str(tmp_path / "ckpts"))
+    trainable = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    opt_state = {"mu": jnp.zeros((2, 3))}
+    C.save_train_state(mgr, 3, trainable, opt_state, extra={"step": 3})
+    restored, step = C.restore_train_state(
+        mgr, template={"trainable": trainable, "opt_state": opt_state, "extra": {"step": 0}}
+    )
+    assert step == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored["trainable"]["a"]), np.asarray(trainable["a"])
+    )
+    assert restored["extra"]["step"] == 3

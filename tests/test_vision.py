@@ -123,3 +123,25 @@ def test_vision_processor_merge(tmp_path):
     n_img = int((ids < 0).sum())
     assert n_img == proc.img_processor([_test_image()])["num_img_tokens"][0]
     assert out["positions"].shape[0] == n_img
+
+
+@pytest.mark.slow
+def test_multi_image_generate(tmp_path):
+    """Two images in one prompt: per-image scatter in the fused prefill
+    (reference merges multiple <|image_N|> tags, phi.py:263-281)."""
+    from phi_3_vision_mlx_tpu.api import _load, generate
+    from phi_3_vision_mlx_tpu.core import weights as W
+
+    path = str(tmp_path / "tiny_v_multi")
+    W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
+    lm, proc = _load(path)
+    out = generate(
+        "Compare these images.",
+        images=[_test_image(400, 300), _test_image(300, 400)],
+        preload=(lm, proc),
+        max_tokens=4,
+        verbose=False,
+        stream=False,
+        mute=True,
+    )
+    assert isinstance(out, (str, list))
