@@ -16,7 +16,7 @@ import os
 import sys
 import time
 
-os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK", "128")
+os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK", "256")
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +96,7 @@ def main():
         "remote island, where the keeper discovers a coded journal from the "
         "previous keeper who vanished without a trace.<|end|>\n<|assistant|>\n"
     )
-    max_tokens = int(os.environ.get("BENCH_MAX_TOKENS", "384"))
+    max_tokens = int(os.environ.get("BENCH_MAX_TOKENS", "512"))
 
     # Warmup (compile prefill + decode chunk)
     generate_text(
