@@ -71,20 +71,22 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def state_shardings(cfg: ModelConfig, mesh: Mesh, quantized_cache: bool = None):
-    """NamedShardings for a DecodeState: cache heads on model, batch on data."""
+    """NamedShardings for a DecodeState: cache heads on model, batch on data.
+
+    Pytree structure must match the real ``KVCache`` exactly: the quantized
+    cache fuses k+v payload into ``k`` (nl, B, KV, 2D, L) and all four
+    scale/bias planes into ``k_scales`` (nl, B, KV, 4G, L), leaving the other
+    four fields None (engine/state.py ``init_state``).  Either layout keeps
+    layer first, batch second, kv-heads third — so one spec serves both.
+    """
     quantized_cache = (
         cfg.use_quantized_cache if quantized_cache is None else quantized_cache
     )
     kv_spec = NamedSharding(mesh, P(None, "data", "model", None, None))
-    none = None
-    kv = KVCache(
-        k=kv_spec,
-        v=kv_spec,
-        k_scales=kv_spec if quantized_cache else none,
-        k_biases=kv_spec if quantized_cache else none,
-        v_scales=kv_spec if quantized_cache else none,
-        v_biases=kv_spec if quantized_cache else none,
-    )
+    if quantized_cache:
+        kv = KVCache(k=kv_spec, v=None, k_scales=kv_spec)
+    else:
+        kv = KVCache(k=kv_spec, v=kv_spec)
     return DecodeState(
         kv=kv,
         offset=NamedSharding(mesh, P()),

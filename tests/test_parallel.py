@@ -54,6 +54,27 @@ def test_param_shardings_cover_tree(params):
     assert len(flat_p) == len(flat_s)
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_state_shardings_match_state_structure(quantized):
+    """state_shardings must have the exact pytree structure of a real
+    DecodeState (the quantized cache fuses k+v payload and scale planes —
+    engine/state.py init_state), else with_sharding_constraint throws."""
+    from phi_3_vision_mlx_tpu.engine.state import init_state
+    from phi_3_vision_mlx_tpu.parallel.sharding import state_shardings
+
+    cfg = CFG.replace(use_quantized_cache=quantized)
+    mesh = make_mesh(data=2, model=4)
+    state = init_state(cfg, batch=2, prompt_len=8, l_all=16)
+    shardings = state_shardings(cfg, mesh)
+    assert jax.tree_util.tree_structure(state) == jax.tree_util.tree_structure(
+        shardings, is_leaf=lambda x: hasattr(x, "spec")
+    )
+    constrained = jax.jit(
+        lambda s: jax.lax.with_sharding_constraint(s, shardings)
+    )(state)
+    jax.block_until_ready(constrained)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
 
