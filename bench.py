@@ -29,6 +29,7 @@ def synth_quantized_params(cfg, key):
     e, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     h, kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     nl, g = cfg.num_hidden_layers, cfg.quantized.group_size
+    symmetric = cfg.quantized.mode == "symmetric"
     op = (h + 2 * kv) * d
     ks = iter(jax.random.split(key, 16))
 
@@ -39,18 +40,22 @@ def synth_quantized_params(cfg, key):
         scale = jnp.full(sshape, 0.004, jnp.bfloat16) * (
             1.0 + 0.1 * jax.random.normal(next(ks), sshape, jnp.bfloat16)
         )
-        bias = jnp.full(sshape, -0.03, jnp.bfloat16)
-        return {"weight": payload, "scales": scale, "biases": bias}
+        out = {"weight": payload, "scales": scale}
+        if not symmetric:
+            out["biases"] = jnp.full(sshape, -0.03, jnp.bfloat16)
+        return out
 
     def q_embed(shape):
         payload = jax.random.randint(next(ks), shape, 0, 16, jnp.uint8)
         groups = shape[-1] // g
         sshape = shape[:-1] + (groups,)
-        return {
+        out = {
             "weight": payload,
             "scales": jnp.full(sshape, 0.004, jnp.bfloat16),
-            "biases": jnp.full(sshape, -0.03, jnp.bfloat16),
         }
+        if not symmetric:
+            out["biases"] = jnp.full(sshape, -0.03, jnp.bfloat16)
+        return out
 
     return {
         "model": {
@@ -78,7 +83,10 @@ def main():
     from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
     from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
 
-    cfg = preset("phi35_mini").replace(quantized=QuantConfig(group_size=64, bits=4))
+    mode = os.environ.get("BENCH_QUANT_MODE", "affine")
+    cfg = preset("phi35_mini").replace(
+        quantized=QuantConfig(group_size=64, bits=4, mode=mode)
+    )
     params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
     if (
         jax.default_backend() == "tpu"

@@ -222,16 +222,29 @@ def _quantize_tree(params: dict, qcfg: QuantConfig) -> dict:
             w = node["weight"]
             name = ".".join(path)
             is_embed = path and path[-1] in ("embed_tokens",)
+
+            def as_node(t):
+                out = {"weight": t.q, "scales": t.scales}
+                if t.biases is not None:
+                    out["biases"] = t.biases
+                return out
+
             if is_embed:
                 if w.shape[-1] % qcfg.group_size == 0:
-                    t = quantize(jnp.asarray(w), qcfg.group_size, qcfg.bits, axis=-1)
-                    return {"weight": t.q, "scales": t.scales, "biases": t.biases}
+                    t = quantize(
+                        jnp.asarray(w), qcfg.group_size, qcfg.bits, axis=-1,
+                        mode=qcfg.mode,
+                    )
+                    return as_node(t)
                 return node
             if _is_linear_weight(name + ".weight") and w.ndim >= 2:
                 kdim = w.shape[-2]
                 if kdim % qcfg.group_size == 0:
-                    t = quantize(jnp.asarray(w), qcfg.group_size, qcfg.bits, axis=-2)
-                    out = {"weight": t.q, "scales": t.scales, "biases": t.biases}
+                    t = quantize(
+                        jnp.asarray(w), qcfg.group_size, qcfg.bits, axis=-2,
+                        mode=qcfg.mode,
+                    )
+                    out = as_node(t)
                     if "bias" in node:
                         out["bias"] = node["bias"]
                     return out
@@ -316,26 +329,31 @@ def kernelize_params(params: dict, cfg: ModelConfig) -> dict:
     (K, N) uint8 fallback layout.  No-op for unquantized models."""
     if cfg.quantized is None:
         return params
-    from ..ops.kernels.quant_matmul import BLOCK_K, to_kernel_layout
+    import os as _os
+
+    from ..ops.kernels.quant_matmul import BLOCK_K, to_kernel_layout, to_tiled_layout
+
+    bk = int(_os.environ.get("PHI3V_TPU_TILE_K", "512"))
+    bn = int(_os.environ.get("PHI3V_TPU_TILE_N", "1024"))
 
     def walk(node, path):
         if not isinstance(node, dict):
             return node
         if "scales" in node and "weight" in node and not isinstance(node["weight"], dict):
             q = node["weight"]
-            s, b = node["scales"], node["biases"]
+            s, b = node["scales"], node.get("biases")
             # lm_head's vocab dim (32064) is not block-aligned: zero-pad its
             # output columns (the model slices logits back to vocab_size).
             if (
                 path and path[-1] == "lm_head"
                 and q.ndim == 2
-                and q.shape[-1] % 512 != 0
+                and q.shape[-1] % bn != 0
                 and q.dtype == jnp.uint8
             ):
-                pad = -q.shape[-1] % 512
+                pad = -q.shape[-1] % bn
                 q = jnp.pad(q, ((0, 0), (0, pad)))
                 s = jnp.pad(s, ((0, 0), (0, pad)))
-                b = jnp.pad(b, ((0, 0), (0, pad)))
+                b = None if b is None else jnp.pad(b, ((0, 0), (0, pad)))
             if (
                 q.dtype == jnp.uint8
                 and q.ndim >= 2
@@ -344,22 +362,39 @@ def kernelize_params(params: dict, cfg: ModelConfig) -> dict:
                 # linear leaves have scales (K//g, N); embeddings (V, E//g)
                 and s.shape[-1] == q.shape[-1]
             ):
-                from ..ops.kernels.quant_matmul import pack_nibbles
-
-                pack = cfg.quantized.bits == 4
-                if q.ndim == 2:
-                    qp, s, b = to_kernel_layout(q, s, b)
-                    if pack:
-                        qp = pack_nibbles(qp)
-                else:  # stacked layers: vmap the transform over the layer axis
-                    qp, s, b = jax.vmap(to_kernel_layout)(q, s, b)
-                    if pack:
-                        qp = jax.vmap(pack_nibbles)(qp)
-                if pack:  # bf16 scale/bias: halves scale traffic in the kernel
-                    s = s.astype(jnp.bfloat16)
-                    b = b.astype(jnp.bfloat16)
                 out = dict(node)
-                out.update({"weight": qp, "scales": s, "biases": b})
+                out.pop("biases", None)
+                if cfg.quantized.bits == 4:
+                    # Tiled-contiguous layout: each kernel DMA is one linear
+                    # HBM read (ops/kernels/quant_matmul.py v2).
+                    def tile(qq, ss, bb):
+                        bk_eff = bk if qq.shape[-2] % bk == 0 else 512
+                        bn_eff = bn if qq.shape[-1] % bn == 0 else 512
+                        return to_tiled_layout(
+                            qq, ss, bb,
+                            block_k=min(bk_eff, qq.shape[-2]), block_n=bn_eff,
+                        )
+                    if q.ndim == 2:
+                        qp, s, b = tile(q, s, b)
+                    else:  # stacked layers: vmap over the layer axis
+                        if b is None:
+                            qp, s, _ = jax.vmap(lambda qq, ss: tile(qq, ss, None))(q, s)
+                            b = None
+                        else:
+                            qp, s, b = jax.vmap(tile)(q, s, b)
+                else:
+                    # 8-bit: interleaved int8 layout (no nibble packing).
+                    if b is None:
+                        raise NotImplementedError(
+                            "symmetric mode is 4-bit only (ops/quant.py)"
+                        )
+                    if q.ndim == 2:
+                        qp, s, b = to_kernel_layout(q, s, b)
+                    else:
+                        qp, s, b = jax.vmap(to_kernel_layout)(q, s, b)
+                out.update({"weight": qp, "scales": s})
+                if b is not None:
+                    out["biases"] = b
                 return out
             return node
         return {k: walk(v, path + [k]) for k, v in node.items()}

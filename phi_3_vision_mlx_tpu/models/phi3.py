@@ -73,28 +73,53 @@ def _partition_heavy(layers: dict):
         if not isinstance(leaf, dict) or "scales" not in leaf:
             continue
         q = leaf.get("weight")
+        tiled = getattr(q, "ndim", 0) == 5  # (nl, nk, nn, bk, bn//2)
         packed = (
             getattr(q, "dtype", None) == jnp.uint8
             and q.shape[-1] * 2 == leaf["scales"].shape[-1]
         )
-        if not packed:
+        if not (tiled or packed):
             continue
-        heavy[path] = {k: leaf[k] for k in ("weight", "scales", "biases")}
+        heavy[path] = {
+            k: leaf[k] for k in ("weight", "scales", "biases") if k in leaf
+        }
         parent[path[-1]] = {
             k: v for k, v in leaf.items() if k not in ("weight", "scales", "biases")
         }
     return light, heavy
 
 
-def _dense_at(lp, heavy, path, x, layer_idx):
-    """Apply the linear at ``path``: stacked kernel when heavy, else dense."""
+# Stable per-path ids for dropout rng folding (order is arbitrary but fixed).
+_PATH_IDS = {
+    ("self_attn", "qkv_proj"): 0,
+    ("self_attn", "o_proj"): 1,
+    ("mlp", "gate_up_proj"): 2,
+    ("mlp", "down_proj"): 3,
+}
+
+
+def _dense_at(lp, heavy, path, x, layer_idx, dropout=None):
+    """Apply the linear at ``path``: stacked kernel when heavy, else dense.
+
+    ``dropout``: optional ``(rng, rate)`` — LoRA-branch dropout (reference
+    LoRALinear applies dropout to the adapter input, phi.py:87,129-133);
+    training-only, keyed per (layer, path) so the scan body stays pure.
+    """
     node = lp
     for part in path:
         node = node[part]
+    mask = None
+    if dropout is not None and isinstance(node, dict) and "lora_a" in node:
+        key, rate = dropout
+        key = jax.random.fold_in(
+            jax.random.fold_in(key, layer_idx), _PATH_IDS.get(path, 7)
+        )
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, x.shape).astype(x.dtype) / keep
     hv = heavy.get(path)
     if hv is not None:
-        return dense_stacked(hv, node, x, layer_idx)
-    return dense(node, x)
+        return dense_stacked(hv, node, x, layer_idx, dropout_mask=mask)
+    return dense(node, x, dropout_mask=mask)
 
 
 def _use_flash(lq: int, lk: int) -> bool:
@@ -204,7 +229,7 @@ def _qkv_split(cfg: ModelConfig, qkv):
 
 def _layer_step(
     cfg: ModelConfig, x, lp, kv_full, layer_idx, cos, sin, allowed, offset,
-    n_beam, write, valid=None, heavy=None,
+    n_beam, write, valid=None, heavy=None, dropout=None,
 ):
     """One decoder block: pre-norm attn + pre-norm SwiGLU MLP with residuals
     (reference Phi3DecoderLayer, phi.py:473-485).
@@ -215,7 +240,7 @@ def _layer_step(
     """
     scale = cfg.head_dim**-0.5
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    qkv = _dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, layer_idx)
+    qkv = _dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, layer_idx, dropout=dropout)
     q, k, v = _qkv_split(cfg, qkv)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
@@ -275,14 +300,17 @@ def _layer_step(
 
     b, _, l, _ = q.shape
     o = o.transpose(0, 2, 1, 3).reshape(b, l, -1)
-    x = x + _dense_at(lp, heavy, ("self_attn", "o_proj"), o, layer_idx).astype(x.dtype)
+    x = x + _dense_at(
+        lp, heavy, ("self_attn", "o_proj"), o, layer_idx, dropout=dropout
+    ).astype(x.dtype)
 
     h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    gate_up = _dense_at(lp, heavy, ("mlp", "gate_up_proj"), h, layer_idx)
+    gate_up = _dense_at(lp, heavy, ("mlp", "gate_up_proj"), h, layer_idx, dropout=dropout)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     mlp = _dense_at(
         lp, heavy, ("mlp", "down_proj"),
         jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer_idx,
+        dropout=dropout,
     )
     x = x + mlp.astype(x.dtype)
     return x, kv_full
@@ -290,7 +318,7 @@ def _layer_step(
 
 def _run_layers(
     cfg, layer_params, x, kv: KVCache, cos, sin, allowed, offset, n_beam, write,
-    valid=None,
+    valid=None, dropout=None,
 ):
     nl = cfg.num_hidden_layers
     light, heavy = _partition_heavy(layer_params)
@@ -300,7 +328,7 @@ def _run_layers(
         lp, i = xs
         y, kv = _layer_step(
             cfg, y, lp, kv, i, cos, sin, allowed, offset, n_beam, write,
-            valid=valid, heavy=heavy,
+            valid=valid, heavy=heavy, dropout=dropout,
         )
         return (y, kv), None
 
@@ -439,11 +467,15 @@ def forward_nocache(
     pids=None,
     prompt_valid=None,
     inputs_embeds=None,
+    dropout_rng=None,
+    lora_dropout: float = 0.0,
 ):
     """Single causal pass with no cache allocation — the reference's
     ``max_tokens=0`` mode used by ``_choose_from`` (phi_3_vision_mlx.py:475)
     and by the LoRA training loss (phi_3_vision_mlx.py:996-1004).
 
+    ``dropout_rng`` + ``lora_dropout`` enable LoRA-branch dropout during
+    training (reference LoRALinear dropout, phi.py:87,129-133).
     Returns logits only.
     """
     mdl = params["model"]
@@ -462,10 +494,22 @@ def forward_nocache(
 
     scale = cfg.head_dim**-0.5
     use_flash = _use_flash(l, l)
+    use_dropout = dropout_rng is not None and lora_dropout > 0.0
 
-    def body(carry, lp):
+    def _mask(layer_i, path, node, xin):
+        if not (use_dropout and isinstance(node, dict) and "lora_a" in node):
+            return None
+        key = jax.random.fold_in(
+            jax.random.fold_in(dropout_rng, layer_i), _PATH_IDS.get(path, 7)
+        )
+        keep = 1.0 - lora_dropout
+        return jax.random.bernoulli(key, keep, xin.shape).astype(xin.dtype) / keep
+
+    def body(carry, xs):
+        lp, layer_i = xs
         h = rms_norm(carry, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        qkv = dense(lp["self_attn"]["qkv_proj"], h)
+        node = lp["self_attn"]["qkv_proj"]
+        qkv = dense(node, h, dropout_mask=_mask(layer_i, ("self_attn", "qkv_proj"), node, h))
         q, k, v = _qkv_split(cfg, qkv)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
@@ -477,16 +521,21 @@ def forward_nocache(
             o = masked_attention(q, k, v, allowed, scale)
         bb, _, ll, _ = q.shape
         o = o.transpose(0, 2, 1, 3).reshape(bb, ll, -1)
-        y = carry + dense(lp["self_attn"]["o_proj"], o).astype(carry.dtype)
+        node = lp["self_attn"]["o_proj"]
+        y = carry + dense(
+            node, o, dropout_mask=_mask(layer_i, ("self_attn", "o_proj"), node, o)
+        ).astype(carry.dtype)
         hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-        gate_up = dense(lp["mlp"]["gate_up_proj"], hh)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        mlp = dense(
-            lp["mlp"]["down_proj"],
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+        node = lp["mlp"]["gate_up_proj"]
+        gate_up = dense(
+            node, hh, dropout_mask=_mask(layer_i, ("mlp", "gate_up_proj"), node, hh)
         )
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        node = lp["mlp"]["down_proj"]
+        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        mlp = dense(node, ff, dropout_mask=_mask(layer_i, ("mlp", "down_proj"), node, ff))
         return y + mlp.astype(carry.dtype), None
 
-    x, _ = lax.scan(body, x, mdl["layers"])
+    x, _ = lax.scan(body, x, (mdl["layers"], jnp.arange(cfg.num_hidden_layers)))
     x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
     return dense(params["lm_head"], x)[..., : cfg.vocab_size]

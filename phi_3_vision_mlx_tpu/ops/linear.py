@@ -43,12 +43,17 @@ def embedding(p: dict, ids, dtype=None):
     rows = jnp.take(w, ids, axis=0)
     if is_quantized(p):
         s = jnp.take(p["scales"], ids, axis=0)
-        b = jnp.take(p["biases"], ids, axis=0)
         *lead, e = rows.shape
         groups = s.shape[-1]
         g = e // groups
         rf = rows.astype(jnp.float32).reshape(*lead, groups, g)
-        rows = (rf * s[..., None] + b[..., None]).reshape(*lead, e)
+        if "biases" in p:
+            b = jnp.take(p["biases"], ids, axis=0)
+            rows = (rf * s[..., None] + b[..., None]).reshape(*lead, e)
+        else:
+            from .quant import SYMMETRIC_MID
+
+            rows = ((rf - SYMMETRIC_MID) * s[..., None]).reshape(*lead, e)
         return rows.astype(dtype or s.dtype)
     return rows if dtype is None else rows.astype(dtype)
 
@@ -67,6 +72,32 @@ def dense(p: dict, x, *, lora_scale: float = 1.0, dropout_mask=None):
         for d in lead:
             rows *= d
         q = p["weight"]
+        biases = p.get("biases")
+        if q.ndim == 4:
+            # Tiled kernel layout (ops/kernels/quant_matmul.py v2).
+            from .kernels.quant_matmul import (
+                from_tiled_layout,
+                permute_activation,
+                quant_matmul_tiled,
+            )
+
+            kdim = x.shape[-1]
+            group = q.shape[2] // p["scales"].shape[2]  # bk // gk
+            if rows <= 256:
+                xp = permute_activation(
+                    x.reshape(-1, kdim), group, block_k=q.shape[2]
+                )
+                y = quant_matmul_tiled(
+                    xp, q, p["scales"], biases, out_dtype=x.dtype
+                ).reshape(*lead, -1)
+            else:
+                qq, ss, bb = from_tiled_layout(q, p["scales"], biases)
+                y = quantized_matmul(x, QTensor(qq, ss, bb))
+            if "bias" in p:
+                y = y + p["bias"].astype(y.dtype)
+            if "lora_a" in p:
+                y = _apply_lora(p, x, y, lora_scale, dropout_mask)
+            return y
         n_scales = p["scales"].shape[-1]
         packed = q.dtype == jnp.uint8 and q.shape[-1] * 2 == n_scales
         interleaved = packed or q.dtype == jnp.int8
@@ -97,7 +128,7 @@ def dense(p: dict, x, *, lora_scale: float = 1.0, dropout_mask=None):
                 if packed:
                     q = unpack_nibbles(q).astype(jnp.uint8)
                 q = unpermute_payload(q, group=q.shape[-2] // p["scales"].shape[-2])
-            y = quantized_matmul(x, QTensor(q, p["scales"], p["biases"]))
+            y = quantized_matmul(x, QTensor(q, p["scales"], p.get("biases")))
     else:
         y = jnp.matmul(x, p["weight"].astype(x.dtype), precision=matmul_precision(x.dtype))
     if "bias" in p:
@@ -125,7 +156,7 @@ def _apply_lora(p: dict, x, y, lora_scale: float = 1.0, dropout_mask=None):
     return (y.astype(jnp.float32) + scale * z).astype(x.dtype)
 
 
-def dense_stacked(heavy: dict, light: dict, x, layer_idx):
+def dense_stacked(heavy: dict, light: dict, x, layer_idx, dropout_mask=None):
     """Linear over layer ``layer_idx`` of *stacked* quantized weights.
 
     ``heavy``: {'weight': (nl, K, N//2) packed uint8 | (nl, K, N) int8,
@@ -135,13 +166,43 @@ def dense_stacked(heavy: dict, light: dict, x, layer_idx):
     per-layer LoRA leaves (already sliced by the scan), applied on top.
     """
     q = heavy["weight"]
-    n_scales = heavy["scales"].shape[-1]
-    packed = q.dtype == jnp.uint8 and q.shape[-1] * 2 == n_scales
     lead = x.shape[:-1]
     rows = 1
     for d in lead:
         rows *= d
     kdim = x.shape[-1]
+    if q.ndim == 5 and rows <= 256:
+        # Tiled stacked kernel layout (nl, nk, nn, bk, bn//2).
+        from .kernels.quant_matmul import permute_activation, quant_matmul_tiled_stacked
+
+        group = q.shape[3] // heavy["scales"].shape[3]  # bk // gk
+        xp = permute_activation(x.reshape(-1, kdim), group, block_k=q.shape[3])
+        y = quant_matmul_tiled_stacked(
+            xp, q, heavy["scales"], heavy.get("biases"), layer_idx, out_dtype=x.dtype
+        ).reshape(*lead, -1)
+        if light and "lora_a" in light:
+            y = _apply_lora(light, x, y, dropout_mask=dropout_mask)
+        return y
+    if q.ndim == 5:
+        # Large-M fallback: slice the layer, un-tile, use the XLA path.
+        from .kernels.quant_matmul import from_tiled_layout
+
+        node_q = jax.lax.dynamic_index_in_dim(q, layer_idx, 0, keepdims=False)
+        node_s = jax.lax.dynamic_index_in_dim(
+            heavy["scales"], layer_idx, 0, keepdims=False
+        )
+        node_b = (
+            None
+            if "biases" not in heavy
+            else jax.lax.dynamic_index_in_dim(heavy["biases"], layer_idx, 0, keepdims=False)
+        )
+        qq, ss, bb = from_tiled_layout(node_q, node_s, node_b)
+        y = quantized_matmul(x, QTensor(qq, ss, bb))
+        if light and "lora_a" in light:
+            y = _apply_lora(light, x, y, dropout_mask=dropout_mask)
+        return y
+    n_scales = heavy["scales"].shape[-1]
+    packed = q.dtype == jnp.uint8 and q.shape[-1] * 2 == n_scales
     group = kdim // heavy["scales"].shape[-2]
     if packed and rows <= 256:
         from .kernels.quant_matmul import (
@@ -163,5 +224,5 @@ def dense_stacked(heavy: dict, light: dict, x, layer_idx):
             node = {**node, **light}
         return dense(node, x)
     if light and "lora_a" in light:
-        y = _apply_lora(light, x, y)
+        y = _apply_lora(light, x, y, dropout_mask=dropout_mask)
     return y

@@ -19,7 +19,7 @@ XLA fallback.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,23 +28,32 @@ from ..core.config import QuantConfig
 
 
 class QTensor(NamedTuple):
-    """Quantized tensor: payload + per-group affine params.
+    """Quantized tensor: payload + per-group params.
 
     q:      (..., K, N) uint8 (values in [0, 2**bits - 1])
     scales: (..., K // group, N) float
-    biases: (..., K // group, N) float
+    biases: (..., K // group, N) float, or None (symmetric mode:
+            ``w ~= scales * (q - 2**(bits-1))``)
     """
 
     q: jax.Array
     scales: jax.Array
-    biases: jax.Array
+    biases: Optional[jax.Array]
 
 
-def quantize(w: jax.Array, group_size: int = 64, bits: int = 4, axis: int = -2) -> QTensor:
+def quantize(
+    w: jax.Array,
+    group_size: int = 64,
+    bits: int = 4,
+    axis: int = -2,
+    mode: str = "affine",
+) -> QTensor:
     """Quantize ``w`` along ``axis`` in groups of ``group_size``.
 
     For linear weights stored ``(K, N)``, ``axis=-2`` groups along K (the
     contraction dim), matching the reference's group-along-input convention.
+    ``mode="symmetric"`` stores no biases: the payload is centered at
+    ``mid = 2**(bits-1)`` and ``w ~= scales * (q - mid)``.
     """
     if axis != -2:
         w = jnp.moveaxis(w, axis, -2)
@@ -54,20 +63,32 @@ def quantize(w: jax.Array, group_size: int = 64, bits: int = 4, axis: int = -2) 
     wf = w.astype(jnp.float32).reshape(*lead, k // group_size, group_size, n)
     w_min = wf.min(axis=-2, keepdims=True)
     w_max = wf.max(axis=-2, keepdims=True)
-    scale = (w_max - w_min) / levels
-    scale = jnp.where(scale == 0, 1.0, scale)
-    q = jnp.clip(jnp.round((wf - w_min) / scale), 0, levels)
+    if mode == "symmetric":
+        mid = 1 << (bits - 1)
+        # q - mid spans [-mid, levels - mid]; size the scale so both extremes fit.
+        scale = jnp.maximum(w_max / (levels - mid), w_min / (-mid))
+        scale = jnp.where(scale <= 0, 1.0, scale)
+        q = jnp.clip(jnp.round(wf / scale) + mid, 0, levels)
+        biases = None
+    else:
+        scale = (w_max - w_min) / levels
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round((wf - w_min) / scale), 0, levels)
+        biases = w_min.squeeze(-2)
     q = q.reshape(*lead, k, n).astype(jnp.uint8)
-    scales = scale.squeeze(-2)
-    biases = w_min.squeeze(-2)
-    out = QTensor(q=q, scales=scales, biases=biases)
+    out = QTensor(q=q, scales=scale.squeeze(-2), biases=biases)
     if axis != -2:
         out = QTensor(
             q=jnp.moveaxis(out.q, -2, axis),
             scales=jnp.moveaxis(out.scales, -2, axis),
-            biases=jnp.moveaxis(out.biases, -2, axis),
+            biases=None if out.biases is None else jnp.moveaxis(out.biases, -2, axis),
         )
     return out
+
+
+# Zero point of symmetric payloads.  Symmetric mode is 4-bit only (it exists
+# for the decode kernels, which are int4); affine covers other widths.
+SYMMETRIC_MID = 8
 
 
 def dequantize(t: QTensor, dtype=jnp.bfloat16, axis: int = -2) -> jax.Array:
@@ -76,14 +97,17 @@ def dequantize(t: QTensor, dtype=jnp.bfloat16, axis: int = -2) -> jax.Array:
     if axis != -2:
         q = jnp.moveaxis(q, axis, -2)
         scales = jnp.moveaxis(scales, axis, -2)
-        biases = jnp.moveaxis(biases, axis, -2)
+        biases = None if biases is None else jnp.moveaxis(biases, axis, -2)
     *lead, k, n = q.shape
     groups = scales.shape[-2]
     group_size = k // groups
     qf = q.astype(jnp.float32).reshape(*lead, groups, group_size, n)
-    w = qf * scales[..., :, None, :].astype(jnp.float32) + biases[
-        ..., :, None, :
-    ].astype(jnp.float32)
+    if biases is None:
+        w = (qf - SYMMETRIC_MID) * scales[..., :, None, :].astype(jnp.float32)
+    else:
+        w = qf * scales[..., :, None, :].astype(jnp.float32) + biases[
+            ..., :, None, :
+        ].astype(jnp.float32)
     w = w.reshape(*lead, k, n).astype(dtype)
     if axis != -2:
         w = jnp.moveaxis(w, -2, axis)
@@ -112,5 +136,10 @@ def quantize_for_saving(w_out_in: jax.Array, qcfg: QuantConfig) -> dict:
     converted checkpoint directory is self-describing, like the reference's
     ``quantized_model.safetensors`` (phi_3_vision_mlx.py:291-305).
     """
-    t = quantize(w_out_in.T, group_size=qcfg.group_size, bits=qcfg.bits)
-    return {"weight": t.q, "scales": t.scales, "biases": t.biases}
+    t = quantize(
+        w_out_in.T, group_size=qcfg.group_size, bits=qcfg.bits, mode=qcfg.mode
+    )
+    out = {"weight": t.q, "scales": t.scales}
+    if t.biases is not None:
+        out["biases"] = t.biases
+    return out
