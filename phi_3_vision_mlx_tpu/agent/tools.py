@@ -21,7 +21,7 @@ def add_code(prompt, codes):
 
 def add_text(prompt):
     """``question @ url-or-file`` -> prepend the fetched text as context."""
-    from ..api import _load_text
+    from ..utils.media import fetch_text as _load_text
 
     was_str = isinstance(prompt, str)
     prompts = [prompt] if was_str else prompt

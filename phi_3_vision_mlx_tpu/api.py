@@ -11,19 +11,14 @@ from __future__ import annotations
 
 import json
 import os
-import re
-import subprocess
-from io import BytesIO
 from pathlib import Path
-from urllib.parse import urlparse
 
-import numpy as np
-
+from .agent.sandbox import execute as sandbox_execute
 from .core import weights as W
-from .core.config import ID_ASS, ID_EOS
+from .core.registry import processor_for
 from .engine.constrain import choose_from, constrain_decode
 from .engine.engine import LM, generate_text
-from .models.preprocess import Phi3Processor, Phi3VProcessor
+from .utils.media import fetch_image, fetch_text
 
 PATH_ADAPTERS = "adapters"
 PATH_ORIGINAL_PHI3_VISION = "models/phi3_v"
@@ -73,7 +68,6 @@ def _setup(allow_random: bool = None):
 
 
 def _get_adapter_path(model_path: str) -> str:
-    print(f"{PATH_ADAPTERS}/{Path(model_path).name}")
     return f"{PATH_ADAPTERS}/{Path(model_path).name}"
 
 
@@ -95,7 +89,7 @@ def _load(model_path=PATH_ORIGINAL_PHI3_VISION, adapter_path=None, **kwargs):
                 f"used with {model_path}"
             )
         params = W.load_adapter(params, cfg, adapter_path)
-    proc_cls = Phi3VProcessor if cfg.architecture.startswith("Phi3V") else Phi3Processor
+    proc_cls = processor_for(cfg.architecture)
     processor = proc_cls(model_path)
     return LM(cfg, params, model_path=model_path), processor
 
@@ -127,79 +121,45 @@ def load(
 # Prompt / media helpers
 # ---------------------------------------------------------------------------
 
+# Media fetchers live in utils.media; aliases keep the reference-shaped names
+# that toolchains may address by string.
+_load_image = fetch_image
+_load_text = fetch_text
 
-def _load_image(image_source):
-    """BytesIO / URL / path -> PIL image (reference ``_load_image``, :307-326)."""
-    from PIL import Image
-
-    if isinstance(image_source, BytesIO):
-        try:
-            return Image.open(image_source)
-        except IOError as e:
-            raise ValueError(f"Failed to load image from BytesIO with error: {e}")
-    if hasattr(image_source, "convert"):
-        return image_source  # already a PIL image
-    if isinstance(image_source, str) and image_source.startswith(("http://", "https://")):
-        try:
-            import requests
-
-            response = requests.get(image_source, stream=True)
-            response.raise_for_status()
-            return Image.open(response.raw)
-        except Exception as e:
-            raise ValueError(
-                f"Failed to load image from URL: {image_source} with error {e}"
-            )
-    if Path(image_source).is_file():
-        try:
-            return Image.open(image_source)
-        except IOError as e:
-            raise ValueError(f"Failed to load image {image_source} with error: {e}")
-    raise ValueError(f"The image {image_source} must be a valid URL or existing file.")
+CHAT_TURN = "<|user|>\n{body}<|end|>\n<|assistant|>\n"
 
 
-def _load_text(file_path: str) -> str:
-    """URL / file / literal -> text (reference ``_load_text``, :445-460)."""
-    file_path = file_path.strip()
-    parsed = urlparse(file_path)
-    if parsed.scheme in ("http", "https"):
-        import requests
+def _image_tags(n: int) -> str:
+    """``<|image_1|>..<|image_n|>`` header lines (reference :349-351)."""
+    return "".join(f"<|image_{i}|>\n" for i in range(1, n + 1))
 
-        response = requests.get(file_path)
-        if response.status_code != 200:
-            raise Exception(
-                f"Failed to retrieve URL: {file_path}, Status code: {response.status_code}"
-            )
-        return_text = response.text
-    else:
-        path = Path(file_path)
-        return_text = path.read_text() if path.is_file() else file_path
-    return return_text.replace('"', "'")
+
+def _print_io_banner(prompt, images) -> None:
+    if isinstance(prompt, list):
+        prompt = "\n".join(map(str.strip, prompt)).strip()
+    images_str = "\n".join(map(str, images)) if images else "None"
+    print(f"*** Prompt ***\n{prompt}\n*** Images ***\n{images_str}\n*** Output ***")
 
 
 def _apply_chat_template(prompt, images, verbose, apply_chat_template=True):
-    """Wrap prompt(s) in the Phi-3 chat format (reference :341-357)."""
+    """Wrap prompt(s) in the Phi-3 chat format and decode image sources.
+
+    Parity surface: reference ``_apply_chat_template`` (:341-357) — the chat
+    markup strings are the model's trained format and must match exactly.
+    """
     if apply_chat_template is False:
         if verbose:
-            print(f"*** Prompt ***\n{prompt}\n*** Images ***\n{images}\n*** Output ***")
+            _print_io_banner(prompt, images)
         return prompt, images
     if images is not None:
-        images = (
-            [_load_image(i) for i in images]
-            if isinstance(images, list)
-            else [_load_image(images)]
-        )
-        img_prompt = "\n".join(f"<|image_{i+1}|>" for i in range(len(images))) + "\n"
-    else:
-        img_prompt = ""
-    prompt = [prompt] if isinstance(prompt, str) else prompt
-    prompt = [f"<|user|>\n{img_prompt}{p.strip()}<|end|>\n<|assistant|>\n" for p in prompt]
+        sources = images if isinstance(images, list) else [images]
+        images = [fetch_image(src) for src in sources]
+    header = _image_tags(len(images)) if images else ""
+    prompts = [prompt] if isinstance(prompt, str) else prompt
+    prompts = [CHAT_TURN.format(body=f"{header}{p.strip()}") for p in prompts]
     if verbose:
-        prompt_str = "\n".join(map(str.strip, prompt)).strip()
-        images_str = "\n".join(map(str, images)) if images else "None"
-        print(f"*** Prompt ***\n{prompt_str}\n*** Images ***\n{images_str}\n*** Output ***")
-    prompt = prompt[0] if len(prompt) == 1 else prompt
-    return prompt, images
+        _print_io_banner(prompts, images)
+    return (prompts[0] if len(prompts) == 1 else prompts), images
 
 
 # ---------------------------------------------------------------------------
@@ -304,56 +264,7 @@ def constrain(
 
 
 # ---------------------------------------------------------------------------
-# Code execution sandbox (reference ``execute``/``_execute``, :1489-1524,411)
+# Code execution sandbox — implementation in agent/sandbox.py
 # ---------------------------------------------------------------------------
 
-
-def _get_api_output_path(process, file_prefix):
-    if "<|api_output|>" in process.stdout:
-        _api_output = process.stdout.strip().split("<|api_output|>", 1)[1]
-        _from_path = Path(_api_output)
-        if _from_path.is_file():
-            _to_path = f"{file_prefix}_{_from_path.name}"
-            _from_path.rename(_to_path)
-            return _to_path
-        return _api_output
-    return None
-
-
-def _execute(code_string, file_prefix=0):
-    code_string = "\n".join(
-        re.findall(r"```python\n(.*?)```", code_string, re.DOTALL)
-    ).strip()
-    if len(code_string) < 1:
-        return None, None, None, None
-    code_string = re.sub(r"plt\.savefig\(.*?\)", "plt.show()", code_string)
-    plot_path = f"{file_prefix}.png" if "plt.show()" in code_string else None
-    code_to_run = code_string.replace("plt.show()", f"plt.savefig('{plot_path}')")
-    process = subprocess.run(
-        ["python", "-c", code_to_run], capture_output=True, text=True
-    )
-    output_path = None
-    stdout = process.stdout.strip()
-    stderr = process.stderr.strip()
-    if len(stderr) < 1:
-        output_path = plot_path if plot_path else _get_api_output_path(process, file_prefix)
-        stderr = None
-    return code_string, output_path, stdout, stderr
-
-
-def execute(code_strings, file_prefix=0, verbose=True):
-    """Run ```python``` blocks in a subprocess sandbox, harvesting plots and
-    ``<|api_output|>`` artifacts (reference ``execute``, :1489-1524)."""
-    code_strings = [code_strings] if isinstance(code_strings, str) else code_strings
-    results = [
-        _execute(code, f"{file_prefix}_{i}") for i, code in enumerate(code_strings)
-    ]
-    if verbose is True:
-        print("*** Execution ***")
-        for result in results:
-            for r in result:
-                print(r)
-    return {
-        k: [r[i] for r in results]
-        for i, k in enumerate(["codes", "files", "souts", "serrs"])
-    }
+execute = sandbox_execute

@@ -62,26 +62,34 @@ def _local_test_image():
     return path
 
 
+_TASKS = ("Text Generation", "Image Captioning", "Batched Generation")
+_METHODS = (
+    ("vanilla", "Vanilla Model"),
+    ("q_model", "Quantized Model"),
+    ("q_cache", "Quantized Cache"),
+    ("lora", "LoRA Adapter"),
+)
+
+
 def _format_benchmark(json_path="benchmark.json"):
+    """Render benchmark.json as a generation-TPS markdown table (the output
+    format users of the reference's ``benchmark()`` expect, README parity)."""
     with open(json_path, "r") as f:
         data = json.load(f)
-    task_indices = {0: "Text Generation", 1: "Image Captioning", 2: "Batched Generation"}
-    markdown_table = """
-    | Task                  | Vanilla Model | Quantized Model | Quantized Cache | LoRA Adapter |
-    |-----------------------|---------------|-----------------|-----------------|--------------|"""
-
-    def row(i):
-        cells = [data[m][i][2] for m in ("vanilla", "q_model", "q_cache", "lora")]
-        name = task_indices[i]
-        return (
-            f"\n    | {name}{' ' * (22 - len(name))}|  "
-            + "     |  ".join(f"{c:.2f} tps" for c in cells)
-            + "    |"
-        )
-
-    for i in range(3):
-        markdown_table += row(i)
-    print(markdown_table)
+    header = ["Task", *(label for _, label in _METHODS)]
+    rows = [
+        [task, *(f"{data[key][i][2]:.2f} tps" for key, _ in _METHODS)]
+        for i, task in enumerate(_TASKS)
+    ]
+    widths = [max(len(r[c]) for r in [header, *rows]) for c in range(len(header))]
+    fmt = lambda r: "    | " + " | ".join(c.ljust(w) for c, w in zip(r, widths)) + " |"
+    lines = [
+        "",
+        fmt(header),
+        "    |" + "|".join("-" * (w + 2) for w in widths) + "|",
+        *(fmt(r) for r in rows),
+    ]
+    print("\n".join(lines))
 
 
 def benchmark(blind_model: bool = False, json_path: str = "benchmark.json",

@@ -349,6 +349,13 @@ def generate_text(
     n_emitted = 1
     tok_dev = jnp.asarray(token)
     stop = False
+    step_timer = None
+    step_log = os.environ.get("PHI3V_TPU_STEP_LOG")
+    if step_log:
+        from ..utils.profiler import StepTimer
+
+        step_timer = StepTimer()
+        step_timer.tick()
     while n_emitted < max_tokens and not stop:
         n_steps = min(DECODE_CHUNK, max_tokens - n_emitted)
         fn = lm.chunk_fn(b, window, n_steps)
@@ -356,6 +363,8 @@ def generate_text(
         toks = jax.device_get(toks)  # (n, B)
         maxlp = jax.device_get(maxlp)
         eoslp = jax.device_get(eoslp)
+        if step_timer is not None:
+            step_timer.tick()  # one sample per decode-chunk dispatch
         for i in range(n_steps):
             # Host-side replay of the reference loop's checks, in its order
             # (phi_3_vision_mlx.py:390-398): stream the token, then the logit
@@ -373,6 +382,8 @@ def generate_text(
 
     result, gen_len = streamer.end()
     gen_time = tic()
+    if step_timer is not None:
+        step_timer.dump(step_log)
     prompt_len = int(np.asarray(dict_input["input_ids"]).size)
     prompt_tps = prompt_len / prompt_time
     gen_tps = (gen_len - 1) / max(gen_time, 1e-9)

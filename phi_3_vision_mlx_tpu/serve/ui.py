@@ -1,11 +1,77 @@
-"""Gradio chat UI driving an Agent (reference chat_ui,
-/root/reference/phi_3_vision_mlx.py:785-896; console script ``phi3v``).
+"""Gradio chat UI driving an Agent.
 
-gradio is an optional dependency; without it this module raises a clear
-error at call time (the rest of the framework is unaffected).
+Capability parity with the reference ``chat_ui``
+(/root/reference/phi_3_vision_mlx.py:785-896; console script ``phi3v``),
+restructured: the history/agent bookkeeping lives in :class:`ChatSession`
+(unit-testable without gradio), and the gradio graph is thin wiring on top.
+gradio is an optional dependency; without it :func:`chat_ui` raises a clear
+error at call time and the rest of the framework is unaffected.
 """
 
 from __future__ import annotations
+
+END_TAG = "<|end|>"
+
+
+class ChatSession:
+    """Chat history + agent turn bookkeeping.
+
+    History entries are gradio chatbot pairs ``(user, assistant)`` where
+    either side may be text or an ``(image_path,)`` tuple.  ``_turn_start``
+    marks where the current user turn (possibly several uploaded images plus
+    one text message) began.
+    """
+
+    def __init__(self, agent):
+        self.agent = agent
+        self.history: list = []
+        self._turn_start = 0
+
+    # -- user side ----------------------------------------------------------
+
+    def add_user_message(self, text, files) -> list:
+        for path in files or []:
+            self.history.append(((path,), None))
+        if text is not None:
+            self.history.append((text, None))
+        return self.history
+
+    # -- agent side ---------------------------------------------------------
+
+    def _turn_inputs(self):
+        """(prompt, images) of the current turn: last text message + any
+        image uploads since the previous agent response."""
+        prompt = self.history[-1][0]
+        uploads = [
+            entry[0][0] for entry in self.history[self._turn_start : -1]
+        ]
+        return prompt, (uploads or None)
+
+    @staticmethod
+    def _clean(response: str) -> str:
+        """Trim at the chat terminator and drop blank lines."""
+        if END_TAG in response:
+            response = response[: response.find(END_TAG)]
+        return "\n".join(ln for ln in response.splitlines() if ln.strip())
+
+    def run_agent(self) -> list:
+        result = self.agent(*self._turn_inputs())
+        responses = result.get("responses")
+        if isinstance(responses, str):
+            responses = [responses]
+        for response in responses or []:
+            self.history.append((None, self._clean(response)))
+        for path in result.get("files") or []:
+            if path is not None:
+                self.history.append((None, (path,)))
+        self._turn_start = len(self.history)
+        return self.history
+
+    def reset(self) -> list:
+        self.agent.end()
+        self.history = []
+        self._turn_start = 0
+        return self.history
 
 
 def chat_ui(agent=None):
@@ -18,63 +84,30 @@ def chat_ui(agent=None):
         ) from e
     from ..agent.agent import Agent
 
-    agent = Agent() if agent is None else agent
+    session = ChatSession(agent if agent is not None else Agent())
 
-    def add_message(history, message):
-        for x in message["files"]:
-            history.append(((x,), None))
-        if message["text"] is not None:
-            history.append((message["text"], None))
+    def on_submit(message):
+        history = session.add_user_message(message["text"], message["files"])
         return history, gr.MultimodalTextbox(value=None, interactive=False)
 
-    def bot(history):
-        def _get_input(history):
-            return history[-1][0], (
-                [i[0][0] for i in history[agent.user_since : -1]]
-                if agent.user_since + 1 < len(history)
-                else None
-            )
-
-        agent_input = _get_input(history)
-        agent_output = agent(*agent_input)
-        responses, files = agent_output["responses"], agent_output["files"]
-        if responses is not None:
-            if isinstance(responses, str):
-                responses = [responses]
-            for response in responses:
-                response = (
-                    response[: response.find("<|end|>")]
-                    if "<|end|>" in response
-                    else response
-                )
-                lines = [ln for ln in response.splitlines() if ln.strip()]
-                history.append((None, "\n".join(lines)))
-        if files is not None:
-            for file in files:
-                if file is not None:
-                    history.append((None, (file,)))
-        agent.user_since = len(history)
-        return history
-
-    def reset():
-        agent.end()
-        return []
-
     with gr.Blocks(css="footer{display:none !important}") as demo:
-        chatbot = gr.Chatbot([], elem_id="chatbot", bubble_full_width=False, height="80vh")
-        chat_input = gr.MultimodalTextbox(
+        chatbot = gr.Chatbot(
+            [], elem_id="chatbot", bubble_full_width=False, height="80vh"
+        )
+        box = gr.MultimodalTextbox(
             interactive=True,
             file_types=["image"],
             placeholder="Enter message or upload file...",
             show_label=False,
         )
-        close_btn = gr.Button("Reset", variant="stop")
-        chat_msg = chat_input.submit(
-            add_message, [chatbot, chat_input], [chatbot, chat_input]
+        reset_btn = gr.Button("Reset", variant="stop")
+
+        submitted = box.submit(on_submit, [box], [chatbot, box])
+        responded = submitted.then(
+            lambda: session.run_agent(), None, chatbot, api_name="bot_response"
         )
-        bot_msg = chat_msg.then(bot, chatbot, chatbot, api_name="bot_response")
-        bot_msg.then(lambda: gr.MultimodalTextbox(interactive=True), None, [chat_input])
-        close_btn.click(reset, None, chatbot)
+        responded.then(lambda: gr.MultimodalTextbox(interactive=True), None, [box])
+        reset_btn.click(lambda: session.reset(), None, chatbot)
     demo.queue()
     demo.launch(inbrowser=True, inline=True)
 

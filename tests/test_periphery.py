@@ -95,6 +95,32 @@ def test_agent_quote_to_api_input(tmp_path, monkeypatch):
     assert "<|api_input|>" in seen["prompt"]
 
 
+def test_chat_session_turns():
+    from phi_3_vision_mlx_tpu.serve.ui import ChatSession
+
+    seen = []
+
+    class FakeAgent:
+        def __call__(self, prompt, images=None):
+            seen.append((prompt, images))
+            return {"responses": f"hi<|end|>\njunk", "files": ["plot.png"]}
+
+        def end(self):
+            seen.append("end")
+
+    s = ChatSession(FakeAgent())
+    s.add_user_message("what is this?", ["/tmp/img.png"])
+    history = s.run_agent()
+    assert seen[0] == ("what is this?", ["/tmp/img.png"])
+    assert history[-2] == (None, "hi")  # <|end|>-trimmed, blank lines dropped
+    assert history[-1] == (None, ("plot.png",))
+    # next turn starts fresh (no stale uploads)
+    s.add_user_message("and now?", [])
+    s.run_agent()
+    assert seen[1] == ("and now?", None)
+    assert s.reset() == [] and seen[-1] == "end"
+
+
 def test_training_callback_artifacts(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from phi_3_vision_mlx_tpu.train.trainer import TrainingCallback
