@@ -209,7 +209,7 @@ def _prepare_batch(processor, prompts: List[str], mask_ratios, rng, bucket: int 
     }
 
 
-def make_loss_fn(cfg):
+def make_loss_fn(cfg, lora_dropout: float = 0.0):
     def loss_fn(trainable, frozen, batch):
         params = merge_lora(frozen, trainable)
         logits = phi3.forward_nocache(
@@ -218,6 +218,8 @@ def make_loss_fn(cfg):
             jnp.asarray(batch["ids"]),
             pids=jnp.asarray(batch["pids"]),
             prompt_valid=jnp.asarray(batch["valid"]),
+            dropout_rng=batch.get("dropout_rng"),
+            lora_dropout=lora_dropout,
         )
         logits = logits[:, :-1].astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -244,8 +246,18 @@ def train_lora(
     mask_ratios=None,
     dataset_path: str = "JosefAlbers/akemiH_MedQA_Reason",
     seed: int = 0,
+    lora_dropout: float = 0.0,
+    resume: bool = False,
+    checkpoint_every: int = 0,
 ):
-    """Fine-tune a LoRA adapter (reference ``train_lora``, :898-1046)."""
+    """Fine-tune a LoRA adapter (reference ``train_lora``, :898-1046).
+
+    Beyond the reference: ``lora_dropout`` (the reference LoRALinear knob,
+    phi.py:87), and exact mid-run resume via orbax —
+    ``checkpoint_every=N`` saves (trainable, opt_state, step) under
+    ``<adapter_path>/train_state`` every N steps, ``resume=True`` restores
+    the latest and continues from the next batch.
+    """
     from ..api import PATH_QUANTIZED_PHI3_BLIND, _get_adapter_path, _load
 
     model_path = model_path or PATH_QUANTIZED_PHI3_BLIND
@@ -271,7 +283,8 @@ def train_lora(
         "lora_layers": lora_layers,
         "lora_targets": lora_targets,
         "lora_parameters": {
-            "rank": lora_rank, "alpha": lora_rank, "dropout": 0.0, "scale": 1.0,
+            "rank": lora_rank, "alpha": lora_rank, "dropout": lora_dropout,
+            "scale": 1.0,
         },
     }
     params, layer_mask = inject_lora(
@@ -285,7 +298,7 @@ def train_lora(
         learning_rate=float(lr_schedule[0]), weight_decay=0.01
     )
     opt_state = tx.init(trainable)
-    loss_fn = make_loss_fn(cfg)
+    loss_fn = make_loss_fn(cfg, lora_dropout)
 
     @jax.jit
     def train_step(trainable, opt_state, frozen, batch, lr_value):
@@ -305,15 +318,44 @@ def train_lora(
 
     callback._save_adapter = save_adapter
 
+    manager = None
+    start_step = 0
+    if resume or checkpoint_every:
+        from .checkpoint import make_manager, restore_train_state, save_train_state
+
+        manager = make_manager(f"{adapter_path}/train_state")
+    if resume and manager is not None:
+        restored = restore_train_state(
+            manager,
+            template={"trainable": trainable, "opt_state": opt_state, "extra": {"next_step": 0}},
+        )
+        if restored is not None:
+            state, _ = restored
+            trainable, opt_state = state["trainable"], state["opt_state"]
+            start_step = int(state["extra"]["next_step"])
+            callback.current_step = start_step
+            print(f"Resumed training from step {start_step}")
+
+    # Per-batch RNGs drawn up front so a resumed run augments identically to
+    # an uninterrupted one (skipped batches must not shift the stream).
+    batch_rngs = [random.Random(rng.random()) for _ in batch_idx]
     for i, idx in enumerate(batch_idx):
+        if i < start_step:
+            continue
         batch = _prepare_batch(
-            processor, [list_prompts[j] for j in idx], mask_ratios, rng
+            processor, [list_prompts[j] for j in idx], mask_ratios, batch_rngs[i]
         )
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if lora_dropout > 0.0:
+            batch["dropout_rng"] = jax.random.fold_in(jax.random.PRNGKey(seed + 1), i)
         trainable, opt_state, lvalue = train_step(
             trainable, opt_state, frozen, batch, jnp.float32(lr_schedule[i])
         )
         callback(float(jax.device_get(lvalue)))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_train_state(
+                manager, i + 1, trainable, opt_state, extra={"next_step": i + 1}
+            )
     callback.end_log()
     del lm
 

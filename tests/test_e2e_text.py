@@ -177,3 +177,60 @@ def test_train_lora_over_quantized_base(ckpt, tmp_path, monkeypatch):
         "Q", preload=(lm, proc), max_tokens=4, verbose=False, stream=False, mute=True
     )
     assert isinstance(out, list)
+
+
+def test_train_lora_with_dropout(ckpt, tmp_path, monkeypatch):
+    """LoRA-branch dropout (reference LoRALinear dropout knob, phi.py:87)."""
+    from phi_3_vision_mlx_tpu.train.trainer import train_lora
+
+    monkeypatch.chdir(tmp_path)
+    adapter = str(tmp_path / "adapters" / "tiny_drop")
+    train_lora(
+        model_path=ckpt, adapter_path=adapter, lora_layers=1, lora_rank=2,
+        epochs=1, batch_size=1, take=2, dataset_path="synthetic",
+        lora_dropout=0.3,
+    )
+    assert os.path.exists(f"{adapter}/adapters.safetensors")
+    import json
+
+    cfg = json.load(open(f"{adapter}/adapter_config.json"))
+    assert cfg["lora_parameters"]["dropout"] == 0.3
+
+
+def test_train_lora_resume(ckpt, tmp_path, monkeypatch):
+    """Orbax mid-run resume: checkpoint at step 1 of 2, resume, and the final
+    adapter equals the uninterrupted run's."""
+    from safetensors.numpy import load_file as load_safetensors
+
+    from phi_3_vision_mlx_tpu.train.trainer import train_lora
+
+    monkeypatch.chdir(tmp_path)
+    kw = dict(
+        model_path=ckpt, lora_layers=1, lora_rank=2, epochs=1,
+        batch_size=1, take=2, dataset_path="synthetic", seed=3,
+    )
+    full = str(tmp_path / "ad_full")
+    train_lora(adapter_path=full, **kw)
+
+    resumed = str(tmp_path / "ad_resumed")
+    train_lora(adapter_path=resumed, checkpoint_every=1, **kw)
+    # wipe the adapter artifact, keep train_state, resume from step 1
+    os.remove(f"{resumed}/adapters.safetensors")
+    import shutil
+
+    state_dir = str(tmp_path / "state_backup")
+    shutil.move(f"{resumed}/train_state", state_dir)
+    # drop the step-2 checkpoint so resume starts mid-run
+    steps = sorted(os.listdir(state_dir))
+    shutil.rmtree(os.path.join(state_dir, steps[-1]))
+    shutil.move(state_dir, f"{resumed}/train_state")
+    train_lora(adapter_path=resumed, resume=True, **kw)
+
+    a = load_safetensors(f"{full}/adapters.safetensors")
+    b = load_safetensors(f"{resumed}/adapters.safetensors")
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
