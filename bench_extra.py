@@ -1,0 +1,177 @@
+"""Side benchmarks beyond the driver metric -> BENCH_EXTRA.json.
+
+Workloads (BASELINE.md configs + ROADMAP long-context targets):
+  single    - 4-bit single-stream decode (the driver metric, for context)
+  batch11   - 11-prompt batched decode, aggregate tok/s
+  dense8k   - dense-cache decode in an 8K window
+  quant8k   - int4 group-32 quantized-KV decode in an 8K window
+  quant32k  - quantized-KV decode in a 32K window (BASELINE config 5)
+  vqa       - single-image VQA prefill latency
+
+Run all: ``python bench_extra.py``; subset: ``python bench_extra.py quant8k``.
+Each workload prints one JSON line; results merge into BENCH_EXTRA.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK", "256")
+os.environ.setdefault("BENCH_QUANT_MODE", "symmetric")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lm(quantize_cache=False):
+    from bench import synth_quantized_params
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+
+    cfg = preset("phi35_mini").replace(
+        quantized=QuantConfig(
+            group_size=64, bits=4, mode=os.environ["BENCH_QUANT_MODE"]
+        ),
+        use_quantized_cache=quantize_cache,
+    )
+    params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    if jax.default_backend() == "tpu":
+        from phi_3_vision_mlx_tpu.core.weights import kernelize_params
+
+        params = kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    return LM(cfg, params), Phi3Processor(tokenizer=ByteTokenizer())
+
+
+def _decode_tps(lm, proc, prompt_chars: int, max_tokens: int, reps: int = 2):
+    from phi_3_vision_mlx_tpu.engine.engine import generate_text
+
+    prompt = ("The lighthouse keeper wrote: " + "x" * 50) * (prompt_chars // 79 + 1)
+    prompt = prompt[:prompt_chars]
+    best = 0.0
+    for _ in range(reps + 1):  # first run compiles
+        _, tps = generate_text(
+            lm, proc, prompt, max_tokens=max_tokens, verbose=False,
+            stream=False, mute=True, return_tps=True,
+        )
+        best = max(best, tps)
+    return best
+
+
+def single():
+    lm, proc = _lm()
+    tps = _decode_tps(lm, proc, 150, 512)
+    return {"metric": "decode_tps_phi35_mini_int4", "value": round(tps, 2),
+            "unit": "tok/s", "reference": 61.01, "ratio": round(tps / 61.01, 2)}
+
+
+def batch11():
+    from phi_3_vision_mlx_tpu.engine.engine import generate_text
+
+    lm, proc = _lm()
+    prompts = [f"Prompt number {i}: write a short story about topic {i}." for i in range(11)]
+    best = 0.0
+    for _ in range(3):
+        _, tps = generate_text(
+            lm, proc, prompts, max_tokens=256, verbose=False,
+            stream=False, mute=True, return_tps=True,
+        )
+        best = max(best, tps)
+    return {"metric": "batched11_decode_tps_int4", "value": round(best, 2),
+            "unit": "tok/s aggregate", "reference_q_model": 149.23,
+            "ratio_vs_q": round(best / 149.23, 2), "reference_best": 236.6,
+            "ratio_vs_best": round(best / 236.6, 2)}
+
+
+def _window_tps(window: int, quantize_cache: bool, max_tokens: int = 384):
+    # prompt padded so l_pad + max_tokens rounds up to `window`
+    lm, proc = _lm(quantize_cache=quantize_cache)
+    prompt_tokens = window - max_tokens - 64
+    return _decode_tps(lm, proc, prompt_tokens, max_tokens, reps=1)
+
+
+def dense8k():
+    tps = _window_tps(8192, False)
+    return {"metric": "decode_tps_dense_cache_8k_window", "value": round(tps, 2),
+            "unit": "tok/s"}
+
+
+def quant8k():
+    tps = _window_tps(8192, True)
+    return {"metric": "decode_tps_quantized_cache_8k_window",
+            "value": round(tps, 2), "unit": "tok/s",
+            "note": "reference's quantized cache: 18.68 tok/s at ~0.6K window, "
+                    "degrading with length"}
+
+
+def quant32k():
+    tps = _window_tps(32768, True, max_tokens=256)
+    return {"metric": "decode_tps_quantized_cache_32k_window",
+            "value": round(tps, 2), "unit": "tok/s",
+            "note": "BASELINE config 5 window (32K quantized-cache decode)"}
+
+
+def vqa():
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.core import weights as W
+    from phi_3_vision_mlx_tpu.engine.engine import LM, generate_text
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3VProcessor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+    from PIL import Image
+
+    from phi_3_vision_mlx_tpu.models.phi3 import init_params
+
+    qcfg = QuantConfig(group_size=64, bits=4, mode="affine")
+    cfg = preset("phi35_vision").replace(quantized=qcfg)
+    params = W._quantize_tree(init_params(cfg, jax.random.PRNGKey(0)), qcfg)
+    if jax.default_backend() == "tpu":
+        params = W.kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    lm = LM(cfg, params)
+    proc = Phi3VProcessor(tokenizer=ByteTokenizer())
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (480, 640, 3), np.uint8))
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ptps, _ = generate_text(
+            lm, proc, "<|image_1|>\nWhat is shown in this image?", images=[img],
+            max_tokens=2, verbose=False, stream=False, mute=True, return_tps=True,
+        )
+        dt = 1e3 * (time.perf_counter() - t0)
+        best = dt if best is None else min(best, dt)
+    return {"metric": "vqa_prefill_ms", "value": round(best, 1), "unit": "ms",
+            "target_ms": 500,
+            "note": "end-to-end: image prep + prefill + 2-token decode"}
+
+
+ALL = {
+    "single": single, "batch11": batch11, "dense8k": dense8k,
+    "quant8k": quant8k, "quant32k": quant32k, "vqa": vqa,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    path = "BENCH_EXTRA.json"
+    doc = {"comment": "Side measurements (driver metric is bench.py).",
+           "measurements": []}
+    if os.path.exists(path):
+        doc = json.load(open(path))
+    by_metric = {m["metric"]: m for m in doc["measurements"]}
+    for name in names:
+        res = ALL[name]()
+        print(json.dumps(res))
+        by_metric[res["metric"]] = res
+    doc["measurements"] = list(by_metric.values())
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

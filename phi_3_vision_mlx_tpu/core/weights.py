@@ -333,7 +333,7 @@ def kernelize_params(params: dict, cfg: ModelConfig) -> dict:
 
     from ..ops.kernels.quant_matmul import BLOCK_K, to_kernel_layout, to_tiled_layout
 
-    bk = int(_os.environ.get("PHI3V_TPU_TILE_K", "512"))
+    bk = int(_os.environ.get("PHI3V_TPU_TILE_K", "3072"))
     bn = int(_os.environ.get("PHI3V_TPU_TILE_N", "1024"))
 
     def walk(node, path):
@@ -368,12 +368,14 @@ def kernelize_params(params: dict, cfg: ModelConfig) -> dict:
                     # Tiled-contiguous layout: each kernel DMA is one linear
                     # HBM read (ops/kernels/quant_matmul.py v2).
                     def tile(qq, ss, bb):
-                        bk_eff = bk if qq.shape[-2] % bk == 0 else 512
-                        bn_eff = bn if qq.shape[-1] % bn == 0 else 512
-                        return to_tiled_layout(
-                            qq, ss, bb,
-                            block_k=min(bk_eff, qq.shape[-2]), block_n=bn_eff,
+                        k_, n_ = qq.shape[-2], qq.shape[-1]
+                        bk_eff = next(
+                            c
+                            for c in (bk, 3072, 2048, 1024, 512)
+                            if c <= k_ and k_ % c == 0
                         )
+                        bn_eff = next(c for c in (bn, 1024, 512) if n_ % c == 0)
+                        return to_tiled_layout(qq, ss, bb, block_k=bk_eff, block_n=bn_eff)
                     if q.ndim == 2:
                         qp, s, b = tile(q, s, b)
                     else:  # stacked layers: vmap over the layer axis

@@ -125,12 +125,14 @@ def init_state(
         # and the transposed form lets the Pallas kernel expand per-group
         # scales with a sublane tile-repeat (ops/kernels/kv_attention.py).
         # bf16 scale/bias; kernels and the XLA path accumulate in f32.
-        # Fused tensors, one DMA each in the decode kernel: ``k`` holds the
-        # k payload rows stacked over the v payload rows (2D, L); ``k_scales``
-        # holds [k_scale; k_bias; v_scale; v_bias] rows (4G, L).
+        # Fused + nibble-packed: byte (r, l) of ``k`` holds k-dim r in the low
+        # nibble and v-dim r in the high nibble — one DMA streams both, at
+        # half the bytes of one-nibble-per-byte storage.  ``k_scales`` holds
+        # [k_scale; k_bias; v_scale; v_bias] rows (4G, L).
         nl_, b_, kvh_, l_, d_ = shape
+        payload_rows = d_ if cfg.kv_quant.bits == 4 else 2 * d_
         kv = KVCache(
-            k=jnp.zeros((nl_, b_, kvh_, 2 * d_, l_), jnp.uint8),
+            k=jnp.zeros((nl_, b_, kvh_, payload_rows, l_), jnp.uint8),
             k_scales=jnp.zeros((nl_, b_, kvh_, 4 * groups, l_), jnp.bfloat16),
         )
     else:
@@ -204,9 +206,10 @@ class LayerKV(NamedTuple):
 def quantize_chunk(k_new, v_new, kvq: KVQuantConfig, quantized: bool):
     """Fresh (B, KV, L, D) chunk -> cache entries.
 
-    Quantized entries come out in the cache's transposed layout: payload
-    (B, KV, D, L) with the head dim row-interleaved (row r = original dim
-    (r % G)*gs + r//G) and scales/biases (B, KV, G, L)."""
+    Quantized entries come out in the cache's transposed nibble-packed
+    layout: payload (B, KV, D, L) with byte (r, l) = k | (v << 4) at
+    row-interleaved head dim r (row r = original dim (r % G)*gs + r//G);
+    scales/biases fused as (B, KV, 4G, L)."""
     if not quantized:
         return LayerKV(k=k_new, v=v_new)
     from ..ops.kernels.kv_attention import d_perm
@@ -215,7 +218,10 @@ def quantize_chunk(k_new, v_new, kvq: KVQuantConfig, quantized: bool):
     vq, vs, vb = _kv_quantize(v_new, kvq)
     perm = d_perm(kq.shape[-1], ks.shape[-1])
     t = lambda a: jnp.swapaxes(a, -1, -2)
-    payload = jnp.concatenate([t(kq[..., perm]), t(vq[..., perm])], axis=-2)
+    if kvq.bits == 4:  # nibble-pack k (lo) with v (hi): half the bytes
+        payload = t(kq[..., perm]) | (t(vq[..., perm]) << 4)
+    else:  # 8-bit: stack k rows over v rows
+        payload = jnp.concatenate([t(kq[..., perm]), t(vq[..., perm])], axis=-2)
     scales = jnp.concatenate([t(ks), t(kb), t(vs), t(vb)], axis=-2)
     return LayerKV(k=payload, k_scales=scales)
 
@@ -255,20 +261,26 @@ def update_layer_chunk(kv: KVCache, i, offset, entries: LayerKV) -> KVCache:
     )
 
 
-def read_kv(lkv: LayerKV, dtype):
+def read_kv(lkv: LayerKV, dtype, kv_bits: int = 4):
     """Materialize the full (B, KV, Lmax, D) k/v views in ``dtype``.
 
     XLA fallback; the Pallas decode-attention kernel reads the quantized
-    payload directly instead.
+    payload directly instead.  ``kv_bits`` selects the payload layout:
+    4-bit is nibble-packed [k | v<<4] (rows = D), 8-bit stacks k over v
+    (rows = 2D).
     """
     if lkv.quantized:
         from ..ops.kernels.kv_attention import d_unperm
 
         t = lambda a: jnp.swapaxes(a, -1, -2)  # transposed storage -> (L, D)
-        d = lkv.k.shape[-2] // 2
         g = lkv.k_scales.shape[-2] // 4
+        if kv_bits == 4:
+            d = lkv.k.shape[-2]
+            kq, vq = lkv.k & 15, lkv.k >> 4  # nibble-packed [k | v<<4]
+        else:
+            d = lkv.k.shape[-2] // 2
+            kq, vq = lkv.k[..., :d, :], lkv.k[..., d:, :]
         unperm = d_unperm(d, g)
-        kq, vq = lkv.k[..., :d, :], lkv.k[..., d:, :]
         sc = lkv.k_scales
         ks, kb, vs, vb = (sc[..., i * g : (i + 1) * g, :] for i in range(4))
         k = _kv_dequantize(t(kq)[..., unperm], t(ks), t(kb), dtype)

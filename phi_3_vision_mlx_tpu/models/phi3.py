@@ -279,7 +279,7 @@ def _layer_step(
                 q, kv_full.k, kv_full.v, valid, offset, layer_idx, scale=scale
             ).astype(x.dtype)
         else:
-            kc, vc = read_kv(index_layer(kv_full, layer_idx), x.dtype)
+            kc, vc = read_kv(index_layer(kv_full, layer_idx), x.dtype, cfg.kv_quant.bits)
             if valid is not None and _use_flash(q.shape[2], kc.shape[2]):
                 from ..ops.kernels.flash_attention import flash_attention
 
@@ -290,7 +290,7 @@ def _layer_step(
         # Beam / no-commit read path: repeat the shared cache n_beam x along
         # batch and append the fresh chunk (reference KVCache beam mode,
         # phi.py:523-527) — a pure read, the cache is untouched.
-        kc, vc = read_kv(index_layer(kv_full, layer_idx), x.dtype)
+        kc, vc = read_kv(index_layer(kv_full, layer_idx), x.dtype, cfg.kv_quant.bits)
         if n_beam > 1:
             kc = jnp.repeat(kc, n_beam, axis=0)
             vc = jnp.repeat(vc, n_beam, axis=0)

@@ -51,7 +51,7 @@ def _kernel(
     L_ref,  # scalar prefetch: (1,) int32 [layer]  (stacked cache)
     off_ref,  # scalar prefetch: (1,) int32 [offset]
     q_ref,  # (1, rows, d) bf16 — D-permuted queries (g heads x Lq rows)
-    kv_ref,  # (1, 1, 1, 2d, blk) uint8 fused [k; v] payload (D-interleaved)
+    kv_ref,  # (1, 1, 1, d, blk) uint8 nibble-packed [k | v<<4] (D-interleaved)
     sc_ref,  # (1, 1, 1, 4G, blk) bf16 fused [ks; kb; vs; vb]
     valid_ref,  # (1, 1, blk) int32
     o_ref,  # (1, rows, d)
@@ -75,7 +75,7 @@ def _kernel(
     d = q_ref.shape[-1]
     groups = sc_ref.shape[-2] // 4
     reps = d // groups
-    payload = kv_ref[0, 0, 0]  # (2d, blk) — one DMA for k and v
+    payload = kv_ref[0, 0, 0].astype(jnp.int32)  # (d, blk): k lo, v hi nibble
     sc = sc_ref[0, 0, 0]  # (4G, blk) — one DMA for all scales/biases
 
     def dequant(qp, scs, bis):
@@ -83,12 +83,10 @@ def _kernel(
         # tile-repeat of the (G, blk) scales is the per-row scale matrix.
         sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
         bf = pltpu.repeat(bis, reps, 0).astype(jnp.float32)
-        return (qp.astype(jnp.int32).astype(jnp.float32) * sf + bf).astype(
-            jnp.bfloat16
-        )
+        return (qp.astype(jnp.float32) * sf + bf).astype(jnp.bfloat16)
 
     k_t = dequant(
-        payload[:d], sc[:groups], sc[groups : 2 * groups]
+        payload & 15, sc[:groups], sc[groups : 2 * groups]
     )  # (d, blk)
     q = q_ref[0]  # (rows, d)
     s = jax.lax.dot_general(
@@ -114,7 +112,7 @@ def _kernel(
     m_ref[...] = m_next
     l_ref[...] = l_next
     v_t = dequant(
-        payload[d:], sc[2 * groups : 3 * groups], sc[3 * groups :]
+        payload >> 4, sc[2 * groups : 3 * groups], sc[3 * groups :]
     )  # (d, blk)
     # o += p @ v: contract the blk dim of both (no transposes needed)
     acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
@@ -203,7 +201,9 @@ def dense_kv_attention(
     nl, _, kvh, lmax, _ = k_stack.shape
     g = h // kvh
     blk = next(
-        bb for bb in (block_k, 256, 128, lmax) if bb <= lmax and lmax % bb == 0
+        bb
+        for bb in (8192, 4096, 2048, 1024, block_k, 256, 128, lmax)
+        if bb <= lmax and lmax % bb == 0
     )
 
     rows = g * lq
@@ -270,7 +270,7 @@ def quantized_kv_attention(
     quantized cache directly (transposed storage; see module docstring).
 
     q: (B, H, Lq, D) queries, already D-permuted.
-    kv_payload: (nl, B, KV, 2D, Lmax) uint8 fused [k; v] payload.
+    kv_payload: (nl, B, KV, D, Lmax) uint8 nibble-packed [k | v<<4] payload.
     kv_scales: (nl, B, KV, 4G, Lmax) bf16 fused [ks; kb; vs; vb].
     valid: (B, Lmax) bool.  offset: () int32.  layer_idx: () int32.
     Returns: (B, H, Lq, D) in q.dtype, still D-permuted.
@@ -278,9 +278,12 @@ def quantized_kv_attention(
     b, h, lq, d = q.shape
     nl, _, kvh, _, lmax = kv_payload.shape
     g = h // kvh
+    # Prefer the largest block that fits VMEM: at blk == lmax the whole
+    # (2d, Lmax) per-head slice is ONE contiguous DMA (the payload's last two
+    # dims are row-major), which is what the HBM controller wants.
     blk = next(
         bb
-        for bb in (block_k, 1024, 512, 256, 128, lmax)
+        for bb in (16384, 8192, 4096, block_k, 1024, 512, 256, 128, lmax)
         if bb <= lmax and lmax % bb == 0
     )
     gq4 = kv_scales.shape[-2]
@@ -305,7 +308,7 @@ def quantized_kv_attention(
                     lambda bi, hi, j, L, O: (bi * pl.num_programs(1) + hi, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, 1, 2 * d, blk),
+                    (1, 1, 1, d, blk),
                     lambda bi, hi, j, L, O: (L[0], bi, hi, 0, j),
                 ),
                 pl.BlockSpec(

@@ -525,6 +525,7 @@ def quant_matmul_tiled(
         scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
@@ -585,6 +586,7 @@ def quant_matmul_tiled_stacked(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *args)
