@@ -116,6 +116,42 @@ class LM:
 
         return self._fn(("prefill_v", b, l, window, img_lens), build)
 
+    def prefill_vision_raw_fn(self, b: int, l: int, window: int, img_grids: tuple):
+        """THE fused VQA prefill: uint8 hd images -> logits in ONE device call.
+
+        Normalize + global-view bicubic + crop tiling + CLIP tower + pooling
+        + projection + embed + scatter + prefill, all in a single XLA program
+        (the north-star "fused XLA image pipeline", SURVEY.md §2.3).
+        ``img_grids``: static per-image (grid_h, grid_w, n_tokens).
+        """
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids, imgs, rows, cols, pids, valid):
+                from ..models.vision import device_image_features
+                from ..ops.linear import embedding
+
+                emb = embedding(
+                    params["model"]["embed_tokens"], jnp.maximum(ids, 0)
+                ).astype(jnp.dtype(cfg.dtype))
+                vparams = params["model"]["vision_embed_tokens"]
+                for i, (gh, gw, n_tok) in enumerate(img_grids):
+                    feats = device_image_features(
+                        vparams, cfg.vision, cfg.image_dim_out, imgs[i], gh, gw
+                    )
+                    emb = lax.dynamic_update_slice(
+                        emb, feats.astype(emb.dtype), (rows[i], cols[i], 0)
+                    )
+                res = phi3.prefill(
+                    params, cfg, None, max_tokens=window - l, pids=pids,
+                    prompt_valid=valid, inputs_embeds=emb,
+                )
+                return res.logits[:, -1, :].astype(jnp.float32), res.state
+
+            return f
+
+        return self._fn(("prefill_vraw", b, l, window, img_grids), build)
+
     def extend_fn(self, b: int, l: int, window: int):
         """Feed an additional committed prompt chunk (chunked prefill)."""
         cfg = self.cfg
@@ -251,6 +287,28 @@ def run_prefill(lm: LM, dict_input: dict, max_tokens: int, inputs_embeds=None):
             )
         fn = lm.prefill_fn(b, l_pad, window, embeds=True)
         logits, state = fn(lm.params, inputs_embeds, jnp.asarray(pids_p), jnp.asarray(valid_p))
+        return logits, state, l_pad, window
+
+    if dict_input.get("hd_images") is not None:
+        # Fused device-side pipeline: ONE dispatch does normalize + bicubic
+        # global view + crop tiling + CLIP + scatter + prefill.
+        positions = np.asarray(dict_input["positions"])
+        sizes = np.asarray(dict_input["image_sizes"])
+        grids, rows, cols, idx = [], [], [], 0
+        for i, img in enumerate(dict_input["hd_images"]):
+            gh, gw = int(sizes[i][0]) // 336, int(sizes[i][1]) // 336
+            n_tok = int((gh * gw + 1) * 144 + 1 + (gh + 1) * 12)
+            grids.append((gh, gw, n_tok))
+            rows.append(int(positions[idx][0]))
+            cols.append(int(positions[idx][1]) + (l_pad - l))
+            idx += n_tok
+        fn = lm.prefill_vision_raw_fn(b, l_pad, window, tuple(grids))
+        logits, state = fn(
+            lm.params, jnp.asarray(ids_p),
+            tuple(jnp.asarray(img) for img in dict_input["hd_images"]),
+            jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
+            jnp.asarray(pids_p), jnp.asarray(valid_p),
+        )
         return logits, state, l_pad, window
 
     if dict_input.get("pixel_values") is not None:

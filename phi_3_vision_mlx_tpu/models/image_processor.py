@@ -68,46 +68,55 @@ class Phi3VImageProcessor:
         self.image_mean = np.array([0.48145466, 0.4578275, 0.40821073])
         self.image_std = np.array([0.26862954, 0.26130258, 0.27577711])
 
-    def __call__(self, images) -> dict:
+    def hd_transform_uint8(self, img) -> np.ndarray:
+        """PIL image -> (H, W, 3) uint8 hd image: landscape-orient, bilinear
+        resize to ~num_crops 336^2 tiles, white-pad height to a 336 multiple,
+        un-transpose (reference phi.py:290-310).  Everything *after* this
+        (normalize, global bicubic, crop tiling) is pure math and runs
+        on-device in the fused prefill (models/vision.py)."""
         from PIL import Image, ImageOps
 
+        img = img.convert("RGB")
+        w, h = img.size
+        trans = False
+        if w < h:
+            img = img.transpose(Image.TRANSPOSE)
+            trans = True
+            w, h = img.size
+        scale = int(np.sqrt(self.num_crops * w / h))
+        img = img.resize([int(scale * 336), int(scale * 336 * h / w)], Image.BILINEAR)
+        _, bh = img.size
+        diff = int(np.ceil(bh / 336) * 336) - bh
+        top = diff // 2
+        img = ImageOps.expand(img, border=(0, top, 0, diff - top), fill=(255, 255, 255))
+        if trans:
+            img = img.transpose(Image.TRANSPOSE)
+        return np.asarray(img, np.uint8)
+
+    def normalize(self, arr_u8: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 -> CLIP-normalized (3, H, W) float32."""
         mean = self.image_mean.astype(np.float32)
         std_inv = (1.0 / self.image_std).astype(np.float32)
+        arr = (arr_u8.astype(np.float32) * np.float32(1 / 255.0) - mean) * std_inv
+        return arr.transpose(2, 0, 1)
 
-        def hd_transform(img):
-            img = img.convert("RGB")
-            w, h = img.size
-            trans = False
-            if w < h:
-                img = img.transpose(Image.TRANSPOSE)
-                trans = True
-                w, h = img.size
-            scale = int(np.sqrt(self.num_crops * w / h))
-            img = img.resize([int(scale * 336), int(scale * 336 * h / w)], Image.BILINEAR)
+    @staticmethod
+    def count_tokens(h: int, w: int) -> int:
+        return int((h // 336 * w // 336 + 1) * 144 + 1 + (h // 336 + 1) * 12)
 
-            def pad_to_336(b):
-                _, bh = b.size
-                diff = int(np.ceil(bh / 336) * 336) - bh
-                top = diff // 2
-                return ImageOps.expand(
-                    b, border=(0, top, 0, diff - top), fill=(255, 255, 255)
-                )
-
-            img = pad_to_336(img)
-            if trans:
-                img = img.transpose(Image.TRANSPOSE)
-            # single-precision normalize (the f64 default costs seconds/host)
-            arr = np.asarray(img, np.float32)
-            arr = (arr * np.float32(1 / 255.0) - mean) * std_inv
-            return arr.transpose(2, 0, 1)  # (3, H, W)
-
+    def __call__(self, images, raw: bool = False) -> dict:
+        hd_u8 = [self.hd_transform_uint8(img) for img in images]
+        shapes = [[im.shape[0], im.shape[1]] for im in hd_u8]
+        num_img_tokens = [self.count_tokens(h, w) for h, w in shapes]
+        if raw:
+            # Device-side pipeline: ship uint8, normalize/tile/resize on-TPU.
+            return {
+                "hd_images": hd_u8,
+                "image_sizes": shapes,
+                "num_img_tokens": num_img_tokens,
+            }
         max_crops = 17
-        hd_images = [hd_transform(img) for img in images]
-        shapes = [[im.shape[1], im.shape[2]] for im in hd_images]
-        num_img_tokens = [
-            int((h // 336 * w // 336 + 1) * 144 + 1 + (h // 336 + 1) * 12)
-            for h, w in shapes
-        ]
+        hd_images = [self.normalize(im) for im in hd_u8]
         pixel_values = np.zeros(
             (len(hd_images), max_crops, 3, 336, 336), np.float32
         )

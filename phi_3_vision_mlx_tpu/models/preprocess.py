@@ -63,13 +63,15 @@ class Phi3VProcessor(Phi3Processor):
     def __call__(self, texts, images=None):
         if images is None:
             return self._tokenize(texts)
-        image_inputs = self.img_processor(images)
+        import os
+
+        raw = os.environ.get("PHI3V_TPU_DEVICE_IMAGE", "1") == "1"
+        image_inputs = self.img_processor(images, raw=raw)
         return self._merge(image_inputs, texts)
 
     def _merge(self, images, texts):
         prompt_chunks = self.tokenizer(re.split(_IMG_TAG, texts)).input_ids
         num_img_tokens = images["num_img_tokens"]
-        pixel_values, image_sizes = images["pixel_values"], images["image_sizes"]
         image_tags = re.findall(_IMG_TAG, texts)
         image_ids = [int(s.split("|")[1].split("_")[-1]) for s in image_tags]
         image_ids_pad = [[-iid] * num_img_tokens[iid - 1] for iid in image_ids]
@@ -81,9 +83,13 @@ class Phi3VProcessor(Phi3Processor):
             input_ids.extend(pad)
         input_ids = np.array(input_ids, np.int32)[None]
         positions = np.argwhere(input_ids < 0)
-        return {
+        out = {
             "input_ids": input_ids,
-            "pixel_values": np.asarray(pixel_values, np.float32),
-            "image_sizes": np.asarray(image_sizes, np.int32),
+            "image_sizes": np.asarray(images["image_sizes"], np.int32),
             "positions": positions.astype(np.int32),
         }
+        if "hd_images" in images:
+            out["hd_images"] = images["hd_images"]  # device-side pipeline
+        else:
+            out["pixel_values"] = np.asarray(images["pixel_values"], np.float32)
+        return out

@@ -229,6 +229,64 @@ def compute_image_embeds(params: dict, cfg: ModelConfig, pixel_values, image_siz
     return outs
 
 
+def device_image_features(vparams, vcfg: ClipVisionConfig, image_dim_out: int,
+                          img_u8, grid_h: int, grid_w: int):
+    """Whole image pipeline on device: (H, W, 3) uint8 hd image -> (1, n, E).
+
+    Jit-traceable replacement for the host half of the reference
+    ``Phi3VImageProcessor`` (normalize, global-view bicubic, crop tiling —
+    phi.py:311-372) fused with the CLIP tower + pooling + projection.  The
+    only host work left is PIL's variable-size bilinear resize+pad
+    (image_processor.hd_transform_uint8); everything from the uint8 pixels
+    onward is one XLA program.
+    """
+    from .image_processor import _resize_matrix
+
+    h_px, w_px = grid_h * 336, grid_w * 336
+    mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], jnp.float32)
+    std_inv = 1.0 / jnp.asarray([0.26862954, 0.26130258, 0.27577711], jnp.float32)
+    x = (img_u8.astype(jnp.float32) * (1.0 / 255.0) - mean) * std_inv  # (H, W, 3)
+    chw = x.transpose(2, 0, 1)  # (3, H, W)
+
+    # Global 336x336 view: the reference's 2-tap cubic as two matmuls
+    # (G_h @ img @ G_w^T); G matrices are static per crop grid.
+    gh = jnp.asarray(_resize_matrix(336 / h_px, 336, h_px).astype(np.float32))
+    gw = jnp.asarray(_resize_matrix(336 / w_px, 336, w_px).astype(np.float32))
+    glb = jnp.einsum(
+        "oh,chw,pw->cop", gh, chw, gw, precision=jax.lax.Precision.HIGHEST
+    )  # (3, 336, 336)
+
+    crops = (
+        chw.reshape(3, grid_h, 336, grid_w, 336)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(-1, 3, 336, 336)
+    )
+    all_crops = jnp.concatenate([glb[None], crops], axis=0)  # (nb+1, 3, 336, 336)
+    feats = clip_vision_forward(
+        vparams, vcfg, all_crops.transpose(0, 2, 3, 1)
+    )  # (nb+1, 576, C)
+
+    c = image_dim_out
+    hh = int(feats.shape[1] ** 0.5)
+    nb = grid_h * grid_w
+
+    def reshape_concat(img, shape, tile_shape):
+        t = img.reshape(shape).transpose(0, 1, 3, 2, 4, 5).reshape(tile_shape)
+        sub = jnp.tile(vparams["sub_GN"], (1, tile_shape[1], 1, 1))
+        return jnp.concatenate([t, sub], axis=2).reshape(1, -1, 4 * c)
+
+    glb_t = reshape_concat(
+        feats[:1], (1, hh // 2, 2, hh // 2, 2, c), (1, hh // 2, hh // 2, 4 * c)
+    )
+    sub_t = reshape_concat(
+        feats[1 : nb + 1],
+        (nb, hh // 2, 2, hh // 2, 2, c),
+        (1, grid_h * 12, grid_w * 12, 4 * c),
+    )
+    x = jnp.concatenate([sub_t, vparams["glb_GN"], glb_t], axis=1)
+    return _project(vparams, x)
+
+
 def compute_inputs_embeds(params: dict, cfg: ModelConfig, dict_input: dict):
     """Text embedding with image features scattered at placeholder positions
     (reference phi.py:412-415 + Phi3F embed hook :577-579)."""

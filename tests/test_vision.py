@@ -145,3 +145,36 @@ def test_multi_image_generate(tmp_path):
         mute=True,
     )
     assert isinstance(out, (str, list))
+
+
+@pytest.mark.slow
+def test_device_image_path_matches_host_path(tmp_path, monkeypatch):
+    """The fused on-device pipeline (uint8 -> normalize -> bicubic global view
+    -> crops -> CLIP -> scatter -> prefill, ONE dispatch) must reproduce the
+    host-side pixel_values path bit-for-bit (same math, different residence)."""
+    import jax
+
+    from phi_3_vision_mlx_tpu.api import _load
+    from phi_3_vision_mlx_tpu.core import weights as W
+    from phi_3_vision_mlx_tpu.engine.engine import run_prefill
+
+    path = str(tmp_path / "tiny_v_dev")
+    W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
+    lm, proc = _load(path)
+    prompt = "<|user|>\n<|image_1|>\nDescribe.<|end|>\n<|assistant|>\n"
+
+    monkeypatch.setenv("PHI3V_TPU_DEVICE_IMAGE", "1")
+    di_dev = proc(prompt, [_test_image(500, 300)])
+    assert "hd_images" in di_dev
+    logits_dev, _, _, _ = run_prefill(lm, di_dev, max_tokens=4)
+
+    monkeypatch.setenv("PHI3V_TPU_DEVICE_IMAGE", "0")
+    di_host = proc(prompt, [_test_image(500, 300)])
+    assert "pixel_values" in di_host
+    logits_host, _, _, _ = run_prefill(lm, di_host, max_tokens=4)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_dev, np.float32),
+        np.asarray(logits_host, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
