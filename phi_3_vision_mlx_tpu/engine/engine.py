@@ -50,11 +50,22 @@ class LM:
     DecodeState values).
     """
 
-    def __init__(self, cfg: ModelConfig, params: dict, model_path: Optional[str] = None):
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        model_path: Optional[str] = None,
+        sp_mesh=None,
+        sp_axis: str = "data",
+    ):
         self.cfg = cfg
         self.params = params
         self.model_path = model_path
         self.eos_id = ID_EOS if cfg.vocab_size > ID_EOS else cfg.vocab_size - 1
+        # Optional sequence-parallel prefill: when set, long text prompts
+        # prefill via ring attention sharded over `sp_axis` of `sp_mesh`.
+        self.sp_mesh = sp_mesh
+        self.sp_axis = sp_axis
         self._fns = {}
 
     # -- compiled-function factory ------------------------------------------
@@ -335,6 +346,26 @@ def run_prefill(lm: LM, dict_input: dict, max_tokens: int, inputs_embeds=None):
             lm.params, jnp.asarray(ids_p), img_feats,
             jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
             jnp.asarray(pids_p), jnp.asarray(valid_p),
+        )
+        return logits, state, l_pad, window
+
+    if lm.sp_mesh is not None and l_pad % lm.sp_mesh.shape[lm.sp_axis] == 0:
+        # Sequence-parallel prefill over the mesh ring (phi3.prefill_ring).
+        def build():
+            mesh, axis = lm.sp_mesh, lm.sp_axis
+
+            def f(params, ids, pids, valid):
+                res = phi3.prefill_ring(
+                    params, lm.cfg, ids, mesh, max_tokens=window - l_pad,
+                    seq_axis=axis, pids=pids, prompt_valid=valid,
+                )
+                return res.logits[:, -1, :].astype(jnp.float32), res.state
+
+            return f
+
+        fn = lm._fn(("prefill_ring", b, l_pad, window), build)
+        logits, state = fn(
+            lm.params, jnp.asarray(ids_p), jnp.asarray(pids_p), jnp.asarray(valid_p)
         )
         return logits, state, l_pad, window
 

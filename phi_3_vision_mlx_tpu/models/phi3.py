@@ -459,6 +459,84 @@ def prefill(
     )
 
 
+def prefill_ring(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids,
+    mesh,
+    *,
+    max_tokens: int,
+    seq_axis: str = "data",
+    pids=None,
+    prompt_valid=None,
+) -> ForwardResult:
+    """Sequence-parallel prefill: the prompt is sharded over ``seq_axis`` and
+    attention runs as ring attention (parallel/ring_attention.py) — K/V blocks
+    rotate over ICI while each device attends for its local queries.
+
+    This is the context-parallel long-prompt path the reference cannot
+    express (single-device, SURVEY.md §5): activations, attention, and the
+    written cache columns are all L-sharded, so a prompt larger than one
+    chip's HBM prefills across the mesh.  Returns the same
+    (logits, DecodeState) contract as :func:`prefill`; decode then proceeds
+    on the (possibly resharded) cache exactly as usual.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.ring_attention import make_ring_attention
+
+    ring = make_ring_attention(mesh, seq_axis)
+    b, l = input_ids.shape
+    assert l % mesh.shape[seq_axis] == 0, (l, mesh.shape)
+    state = init_state(
+        cfg, b, l, l + max_tokens, pids=pids, prompt_valid=prompt_valid,
+        compute_dtype=jnp.dtype(cfg.dtype),
+    )
+    mdl = params["model"]
+    x = embedding(mdl["embed_tokens"], input_ids).astype(jnp.dtype(cfg.dtype))
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, seq_axis, None))
+    )
+    cos = state.cos[:, :l]
+    sin = state.sin[:, :l]
+    if cos.shape[0] == 1 and b > 1:
+        cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
+        sin = jnp.broadcast_to(sin, (b,) + sin.shape[1:])
+    valid = state.valid[:, :l]
+    light, heavy = _partition_heavy(mdl["layers"])
+
+    def body(carry, xs):
+        y, kv = carry
+        lp, i = xs
+        h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+        qkv = _dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, i)
+        q, k, v = _qkv_split(cfg, qkv)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        entries = quantize_chunk(k, v, cfg.kv_quant, kv.quantized)
+        kv = update_layer_chunk(kv, i, 0, entries)
+        o = ring(q, k, v, valid).astype(y.dtype)
+        bb, _, ll, _ = q.shape
+        o = o.transpose(0, 2, 1, 3).reshape(bb, ll, -1)
+        y = y + _dense_at(lp, heavy, ("self_attn", "o_proj"), o, i).astype(y.dtype)
+        hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+        gate_up = _dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, i)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        y = y + _dense_at(lp, heavy, ("mlp", "down_proj"), ff, i).astype(y.dtype)
+        return (y, kv), None
+
+    (x, kv), _ = lax.scan(
+        body, (x, state.kv), (light, jnp.arange(cfg.num_hidden_layers))
+    )
+    x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+    logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+    return ForwardResult(
+        logits=logits,
+        state=state._replace(kv=kv, offset=jnp.asarray(l, jnp.int32)),
+    )
+
+
 def forward_nocache(
     params: dict,
     cfg: ModelConfig,
