@@ -216,6 +216,7 @@ def config_to_dict(cfg: ModelConfig) -> dict:
         "original_max_position_embeddings": cfg.original_max_position_embeddings,
         "model_type": "phi3_v" if cfg.has_vision else "phi3",
         "sanitized": True,
+        "jax_dtype": cfg.dtype,
     }
     if cfg.rope_scaling is not None:
         d["rope_scaling"] = {
