@@ -17,6 +17,7 @@ import sys
 import time
 
 os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK", "256")
+os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK_MIN", "256")
 
 import jax
 import jax.numpy as jnp

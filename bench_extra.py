@@ -18,6 +18,7 @@ import sys
 import time
 
 os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK", "256")
+os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK_MIN", "256")
 os.environ.setdefault("BENCH_QUANT_MODE", "symmetric")
 
 import jax
@@ -150,9 +151,45 @@ def vqa():
             "note": "end-to-end: image prep + prefill + 2-token decode"}
 
 
+def chat():
+    """Interactive serving profile: adaptive chunk ramp (8 -> 256), first-token
+    latency + decode-chunk latency percentiles (utils.profiler.StepTimer)."""
+    from phi_3_vision_mlx_tpu.engine.engine import generate_text
+    from phi_3_vision_mlx_tpu.utils.timing import Tic
+
+    os.environ["PHI3V_TPU_DECODE_CHUNK_MIN"] = "8"
+    step_log = "/tmp/phi3v_chat_steps.json"
+    os.environ["PHI3V_TPU_STEP_LOG"] = step_log
+    try:
+        lm, proc = _lm()
+        prompt = "Tell me a story about a lighthouse keeper."
+        # warmup compiles every ramp size
+        generate_text(lm, proc, prompt, max_tokens=256, verbose=False,
+                      stream=False, mute=True)
+        tic = Tic()
+        ptps, gtps = generate_text(
+            lm, proc, prompt, max_tokens=256, verbose=False, stream=False,
+            mute=True, return_tps=True,
+        )
+        steps = json.load(open(step_log))
+        prompt_toks = len(proc(prompt)["input_ids"][0])
+        first_token_ms = round(1e3 * prompt_toks / ptps, 1)
+        return {
+            "metric": "chat_latency",
+            "value": first_token_ms,
+            "unit": "ms to first token",
+            "decode_tps": round(gtps, 2),
+            "chunk_latency_ms": steps,
+            "note": "adaptive decode chunks 8->256 (PHI3V_TPU_DECODE_CHUNK_MIN)",
+        }
+    finally:
+        os.environ["PHI3V_TPU_DECODE_CHUNK_MIN"] = "256"
+        os.environ.pop("PHI3V_TPU_STEP_LOG", None)
+
+
 ALL = {
     "single": single, "batch11": batch11, "dense8k": dense8k,
-    "quant8k": quant8k, "quant32k": quant32k, "vqa": vqa,
+    "quant8k": quant8k, "quant32k": quant32k, "vqa": vqa, "chat": chat,
 }
 
 

@@ -34,7 +34,20 @@ import os
 
 PROMPT_BUCKET = 64
 WINDOW_BUCKET = 128  # window sizes stay block-friendly for the Pallas cache kernels
-DECODE_CHUNK = int(os.environ.get("PHI3V_TPU_DECODE_CHUNK", "8"))
+# Decode runs CHUNK steps per device call (an on-device lax.scan).  Big
+# chunks amortize dispatch overhead but waste steps after EOS and delay
+# streaming; small chunks do the opposite.  The loop therefore RAMPS: start
+# at PHI3V_TPU_DECODE_CHUNK_MIN (fast first tokens, cheap early-EOS exits)
+# and grow 4x per call up to PHI3V_TPU_DECODE_CHUNK (steady-state
+# throughput).  The ramp visits only log4(max/min) sizes, so a handful of
+# compilations serve any run.  Read at call time so server and bench can
+# pick different schedules in one process.
+
+
+def _chunk_schedule():
+    mx = int(os.environ.get("PHI3V_TPU_DECODE_CHUNK", "256"))
+    mn = min(int(os.environ.get("PHI3V_TPU_DECODE_CHUNK_MIN", "8")), mx)
+    return mn, mx
 PREFILL_CHUNK = int(os.environ.get("PHI3V_TPU_PREFILL_CHUNK", "512"))
 
 
@@ -445,8 +458,10 @@ def generate_text(
 
         step_timer = StepTimer()
         step_timer.tick()
+    chunk, chunk_max = _chunk_schedule()
     while n_emitted < max_tokens and not stop:
-        n_steps = min(DECODE_CHUNK, max_tokens - n_emitted)
+        n_steps = min(chunk, max_tokens - n_emitted)
+        chunk = min(chunk * 4, chunk_max)
         fn = lm.chunk_fn(b, window, n_steps)
         tok_dev, state, toks, maxlp, eoslp = fn(lm.params, tok_dev, state)
         toks = jax.device_get(toks)  # (n, B)
