@@ -97,13 +97,20 @@ def state_shardings(cfg: ModelConfig, mesh: Mesh, quantized_cache: bool = None):
 
 
 def batch_spec(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+    from .mesh import batch_axes
+
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Shard host batch arrays along their leading (batch) axis."""
+    """Shard host batch arrays along their leading (batch) axis — over
+    (dcn, data) jointly on multi-host meshes, data alone otherwise."""
+    from .mesh import batch_axes
+
+    axes = batch_axes(mesh)
+
     def put(x):
-        spec = P(*(["data"] + [None] * (x.ndim - 1)))
+        spec = P(*([axes] + [None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return {k: put(jax.numpy.asarray(v)) for k, v in batch.items()}
