@@ -547,6 +547,7 @@ def forward_nocache(
     inputs_embeds=None,
     dropout_rng=None,
     lora_dropout: float = 0.0,
+    allow_flash: bool = True,
 ):
     """Single causal pass with no cache allocation — the reference's
     ``max_tokens=0`` mode used by ``_choose_from`` (phi_3_vision_mlx.py:475)
@@ -554,6 +555,9 @@ def forward_nocache(
 
     ``dropout_rng`` + ``lora_dropout`` enable LoRA-branch dropout during
     training (reference LoRALinear dropout, phi.py:87,129-133).
+    ``allow_flash=False`` keeps long sequences off the forward-only Pallas
+    flash kernel — required under ``value_and_grad`` (the training loss sets
+    it; inference scoring keeps the kernel).
     Returns logits only.
     """
     mdl = params["model"]
@@ -571,7 +575,7 @@ def forward_nocache(
     allowed = (pos[None, :] <= pos[:, None])[None, None] & prompt_valid[:, None, None, :]
 
     scale = cfg.head_dim**-0.5
-    use_flash = _use_flash(l, l)
+    use_flash = allow_flash and _use_flash(l, l)
     use_dropout = dropout_rng is not None and lora_dropout > 0.0
 
     def _mask(layer_i, path, node, xin):
@@ -595,6 +599,12 @@ def forward_nocache(
             from ..ops.kernels.flash_attention import flash_attention
 
             o = flash_attention(q, k, v, prompt_valid, jnp.int32(0), scale=scale)
+        elif l >= 2048:
+            # Long sequence without the (forward-only) flash kernel — e.g.
+            # long-context TRAINING: differentiable O(L*block)-memory path.
+            from ..ops.attention import blockwise_attention
+
+            o = blockwise_attention(q, k, v, prompt_valid, scale)
         else:
             o = masked_attention(q, k, v, allowed, scale)
         bb, _, ll, _ = q.shape

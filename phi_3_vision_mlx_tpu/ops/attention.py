@@ -91,6 +91,88 @@ def prefill_attention(q, k, v, valid, scale):
     return masked_attention(q, k, v, allowed, scale)
 
 
+def blockwise_attention(q, k, v, valid, scale, q_block: int = 512,
+                        k_block: int = 1024):
+    """Causal self-attention with O(L * block) memory — and DIFFERENTIABLE.
+
+    The Pallas flash kernel (ops/kernels/flash_attention.py) is forward-only;
+    this is the training/backprop-safe counterpart for long sequences: a
+    scan over query blocks, each running an online-softmax scan over key
+    blocks, with ``jax.checkpoint`` on the per-query-block body so the
+    backward pass recomputes instead of storing every (qblk, kblk) score
+    tile.  Peak memory is O(q_block * L) instead of O(L^2).
+
+    Args/returns match :func:`prefill_attention`; L must divide by q_block
+    (the engine's prompt bucketing guarantees multiples of 64 — pad q_block
+    down if needed).
+    """
+    b, h, l, d = q.shape
+    kv = k.shape[1]
+    if kv != h:  # expand GQA heads once; simpler than grouped einsums here
+        k = jnp.repeat(k, h // kv, axis=1)
+        v = jnp.repeat(v, h // kv, axis=1)
+    q_block = min(q_block, l)
+    while l % q_block:
+        q_block //= 2
+    k_block = min(k_block, l)
+    while l % k_block:
+        k_block //= 2
+    nq, nk = l // q_block, l // k_block
+    key_valid = valid  # (B, L)
+
+    @jax.checkpoint
+    def one_q_block(qi, q_blk):
+        q_pos = qi * q_block + jnp.arange(q_block)
+
+        def kv_step(carry, ki):
+            m_run, l_run, acc = carry
+            ks = jax.lax.dynamic_slice_in_dim(k, ki * k_block, k_block, 2)
+            vs = jax.lax.dynamic_slice_in_dim(v, ki * k_block, k_block, 2)
+            vmask = jax.lax.dynamic_slice_in_dim(key_valid, ki * k_block, k_block, 1)
+            key_pos = ki * k_block + jnp.arange(k_block)
+            ok = (key_pos[None, :] <= q_pos[:, None])[None, None] & vmask[
+                :, None, None, :
+            ]
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_blk * scale, ks,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
+                if q_blk.dtype == jnp.float32
+                else None,
+            )
+            s = jnp.where(ok, s, NEG_INF)
+            m_blk = s.max(axis=-1)
+            m_new = jnp.maximum(m_run, m_blk)
+            alpha = jnp.exp(m_run - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            l_new = alpha * l_run + p.sum(axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vs.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST
+                if q_blk.dtype == jnp.float32
+                else None,
+            )
+            return (m_new, l_new, acc), None
+
+        m0 = jnp.full((b, h, q_block), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((b, h, q_block), jnp.float32)
+        acc0 = jnp.zeros((b, h, q_block, d), jnp.float32)
+        (m_f, l_f, acc_f), _ = jax.lax.scan(
+            kv_step, (m0, l0, acc0), jnp.arange(nk)
+        )
+        l_f = jnp.where(l_f == 0.0, 1.0, l_f)
+        return acc_f / l_f[..., None]
+
+    def q_step(_, qi):
+        q_blk = jax.lax.dynamic_slice_in_dim(q, qi * q_block, q_block, 2)
+        return None, one_q_block(qi, q_blk)
+
+    _, blocks = jax.lax.scan(q_step, None, jnp.arange(nq))
+    # (nq, B, H, q_block, D) -> (B, H, L, D)
+    out = jnp.moveaxis(blocks, 0, 2).reshape(b, h, l, d)
+    return out.astype(q.dtype)
+
+
 def decode_attention(q, k_cache, v_cache, valid, q_pos, scale):
     """Attention of a small query chunk against the full cache window.
 

@@ -220,6 +220,7 @@ def make_loss_fn(cfg, lora_dropout: float = 0.0):
             prompt_valid=jnp.asarray(batch["valid"]),
             dropout_rng=batch.get("dropout_rng"),
             lora_dropout=lora_dropout,
+            allow_flash=False,  # flash kernel is forward-only (no vjp)
         )
         logits = logits[:, :-1].astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
