@@ -40,6 +40,8 @@ from ..engine.state import (
 )
 from ..ops.attention import masked_attention
 from ..ops.linear import dense, dense_stacked, embedding
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rotary, su_rope_tables
 
 
 # Linear leaves large enough to matter in the decode loop.  Their stacked
@@ -59,8 +61,6 @@ def _partition_heavy(layers: dict):
     Only kernel-layout quantized bases move to ``heavy`` (payload dtype
     int8/uint8-packed); everything else — norms, LoRA leaves, fp weights,
     fallback-layout payloads — stays in the scan xs unchanged."""
-    import copy
-
     light = {k: (dict(v) if isinstance(v, dict) else v) for k, v in layers.items()}
     heavy = {}
     for path in _HEAVY_KEYS:
@@ -158,8 +158,6 @@ def _use_kv_kernel(lq: int) -> bool:
     except Exception:
         return False
     return lq <= 16
-from ..ops.norms import rms_norm
-from ..ops.rope import apply_rotary, su_rope_tables
 
 
 class ForwardResult(NamedTuple):
