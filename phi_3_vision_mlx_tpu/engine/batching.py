@@ -1,0 +1,328 @@
+"""Continuous batching: a slot-based serving engine.
+
+The reference serves requests one `generate()` call at a time (its batched
+mode requires all prompts to arrive together, phi_3_vision_mlx.py:376-409).
+Production serving wants *continuous* batching: requests join and leave the
+decode batch independently, so the accelerator always decodes a full batch.
+
+TPU-first design — everything static-shaped:
+
+* The batch is ``slots`` fixed decode lanes over a shared preallocated cache
+  ``(num_layers, slots, KV, window, D)`` — per-slot contiguous windows (one
+  big page per request; a paged refinement would split the window further).
+* Each slot carries its own ``offset``; masks and rope slices are computed
+  per-slot from an offsets *vector* (the single-stream engine's scalar
+  offset generalized), so one compiled step serves any mix of requests.
+* Admission runs the ordinary bucketed prefill for the new request, then a
+  compiled ``adopt`` op copies its cache columns into the slot.  Finished
+  slots are simply marked free — the next admission overwrites them.
+
+Greedy decoding, text-only, dense bf16 cache (the quantized-cache variant
+follows the same structure; see engine/state.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.config import ModelConfig
+from ..models import phi3
+from ..ops.linear import dense, embedding
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rotary, su_rope_tables
+
+
+class SlotState:
+    """Device-side state of all slots (functional; replaced each step)."""
+
+    def __init__(self, kv_k, kv_v, offsets, pads, valid, cos, sin, tokens):
+        self.kv_k = kv_k  # (nl, S, KV, W, D)
+        self.kv_v = kv_v
+        self.offsets = offsets  # (S,) int32 — committed cache columns per slot
+        self.pads = pads  # (S,) int32 — left-pad count (rope pos = offset-pads)
+        self.valid = valid  # (S, W) bool key validity
+        self.cos = cos  # (S, W, D) per-slot rope tables
+        self.sin = sin
+        self.tokens = tokens  # (S,) int32 — last sampled token per slot
+
+    def tree(self):
+        return (self.kv_k, self.kv_v, self.offsets, self.pads, self.valid,
+                self.cos, self.sin, self.tokens)
+
+    @classmethod
+    def from_tree(cls, t):
+        return cls(*t)
+
+
+def _init_slots(cfg: ModelConfig, slots: int, window: int, dtype):
+    nl, kvh, d = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = su_rope_tables(cfg, window)  # (1, W, D)
+    return SlotState(
+        kv_k=jnp.zeros((nl, slots, kvh, window, d), dtype),
+        kv_v=jnp.zeros((nl, slots, kvh, window, d), dtype),
+        offsets=jnp.zeros((slots,), jnp.int32),
+        pads=jnp.zeros((slots,), jnp.int32),
+        valid=jnp.zeros((slots, window), bool),
+        cos=jnp.broadcast_to(cos, (slots,) + cos.shape[1:]),
+        sin=jnp.broadcast_to(sin, (slots,) + sin.shape[1:]),
+        tokens=jnp.zeros((slots,), jnp.int32),
+    )
+
+
+def _decode_step(params, cfg: ModelConfig, st: SlotState, active):
+    """One greedy decode step for every slot (inactive slots masked out).
+
+    active: (S,) bool.  Returns (next_tokens (S,), new state).
+    """
+    mdl = params["model"]
+    s, w = st.valid.shape
+    light, heavy = phi3._partition_heavy(mdl["layers"])
+    x = embedding(mdl["embed_tokens"], st.tokens[:, None]).astype(
+        jnp.dtype(cfg.dtype)
+    )  # (S, 1, E)
+
+    # Per-slot rope at each slot's own *logical* position: left-padded
+    # prompts continue from their true length, not the cache column
+    # (reference extended-pids semantics, phi.py:496-497).
+    idx = (st.offsets - st.pads)[:, None, None]  # (S,1,1)
+    cos = jnp.take_along_axis(st.cos, jnp.broadcast_to(idx, (s, 1, st.cos.shape[-1])), 1)
+    sin = jnp.take_along_axis(st.sin, jnp.broadcast_to(idx, (s, 1, st.sin.shape[-1])), 1)
+
+    # Per-slot causal mask: key_pos <= offset, past validity bits, plus the
+    # fresh token's own column (written inside the layer body before
+    # attending, so it must be visible this step even though its validity
+    # bit is only committed after the step).
+    key_pos = jnp.arange(w)
+    slot_ids = jnp.arange(s)
+    fresh = key_pos[None, :] == st.offsets[:, None]
+    allowed = ((key_pos[None, :] <= st.offsets[:, None]) & st.valid) | fresh
+    allowed = allowed[:, None, None, :]  # (S,1,1,W)
+
+    kv_k, kv_v = st.kv_k, st.kv_v
+    scale = cfg.head_dim**-0.5
+
+    def body(carry, xs):
+        y, kk, vv = carry
+        lp, li = xs
+        h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+        qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
+        q, k, v = phi3._qkv_split(cfg, qkv)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        # scatter the fresh column at each slot's own offset
+        kk = kk.at[li, slot_ids, :, st.offsets].set(
+            k[:, :, 0, :].astype(kk.dtype), mode="drop"
+        )
+        vv = vv.at[li, slot_ids, :, st.offsets].set(
+            v[:, :, 0, :].astype(vv.dtype), mode="drop"
+        )
+        kc = lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
+        vc = lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
+        from ..ops.attention import masked_attention
+
+        o = masked_attention(q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale)
+        o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
+        y = y + phi3._dense_at(lp, heavy, ("self_attn", "o_proj"), o, li).astype(y.dtype)
+        hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+        gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        y = y + phi3._dense_at(lp, heavy, ("mlp", "down_proj"), ff, li).astype(y.dtype)
+        return (y, kk, vv), None
+
+    (x, kv_k, kv_v), _ = lax.scan(
+        body, (x, kv_k, kv_v), (light, jnp.arange(cfg.num_hidden_layers))
+    )
+    x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+    logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]  # (S,1,V)
+    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    # The written column becomes visible for the NEXT step (active slots).
+    new_valid = jnp.where(
+        active[:, None], st.valid.at[slot_ids, st.offsets].set(True), st.valid
+    )
+    new_offsets = jnp.where(active, st.offsets + 1, st.offsets)
+    new_tokens = jnp.where(active, nxt, st.tokens)
+    return nxt, SlotState(
+        kv_k=kv_k, kv_v=kv_v, offsets=new_offsets, pads=st.pads,
+        valid=new_valid, cos=st.cos, sin=st.sin, tokens=new_tokens,
+    )
+
+
+def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
+           n_pads):
+    """Copy a freshly prefilled request's cache into ``slot``.
+
+    src_state: the single-request DecodeState from run_prefill (batch 1,
+    window >= l_pad).  Static ``l_pad`` keeps the copy shape compiled.
+    """
+    # dense cache only for now
+    k_cols = src_state.kv.k[:, 0, :, :l_pad]  # (nl, KV, l_pad, D)
+    v_cols = src_state.kv.v[:, 0, :, :l_pad]
+    kv_k = lax.dynamic_update_slice(
+        st.kv_k, k_cols[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)
+    )
+    kv_v = lax.dynamic_update_slice(
+        st.kv_v, v_cols[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)
+    )
+    w = st.valid.shape[1]
+    row_valid = jnp.concatenate(
+        [src_state.valid[0, :l_pad], jnp.zeros((w - l_pad,), bool)]
+    )
+    valid = lax.dynamic_update_slice(st.valid, row_valid[None], (slot, 0))
+    offsets = st.offsets.at[slot].set(jnp.asarray(l_pad, jnp.int32))
+    pads = st.pads.at[slot].set(jnp.asarray(n_pads, jnp.int32))
+    tokens = st.tokens.at[slot].set(last_token)
+    # cos/sin stay: every slot uses the window-global su-rope tables (submit
+    # pins the prefill window to the serving window, so regimes agree).
+    return SlotState(kv_k, kv_v, offsets, pads, valid, st.cos, st.sin, tokens)
+
+
+@dataclass
+class _Request:
+    rid: int
+    slot: int
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+    max_tokens: int = 512
+    l_pad: int = 0
+
+
+class BatchEngine:
+    """Continuous-batching loop over a fixed slot pool.
+
+    Usage::
+
+        eng = BatchEngine(lm, processor, slots=4, window=1024)
+        rid = eng.submit("prompt", max_tokens=64)
+        while eng.pending():
+            eng.step()
+        text = eng.result(rid)
+    """
+
+    def __init__(self, lm, processor, slots: int = 4, window: int = 1024):
+        from .engine import LM  # noqa: F401  (type only)
+
+        self.lm = lm
+        self.processor = processor
+        self.slots = slots
+        if window % 128:
+            raise ValueError("window must be a multiple of 128 (engine bucketing)")
+        self.window = window
+        dtype = jnp.dtype(lm.cfg.dtype)
+        if lm.cfg.use_quantized_cache:
+            raise NotImplementedError(
+                "BatchEngine currently serves the dense cache"
+            )
+        self.state = _init_slots(lm.cfg, slots, window, dtype)
+        self.free: List[int] = list(range(slots))
+        self.requests: Dict[int, _Request] = {}
+        self.by_slot: Dict[int, _Request] = {}
+        self._next_rid = 0
+        self._step_fn = None
+        self._adopt_fns = {}
+
+    # -- admission ----------------------------------------------------------
+
+    def submit(self, prompt: str, max_tokens: int = 512) -> int:
+        from .engine import round_up, run_prefill
+
+        if not self.free:
+            raise RuntimeError("no free slots; call step() until one frees")
+        slot = self.free.pop()
+        dict_input = self.processor(prompt)
+        l = int(np.asarray(dict_input["input_ids"]).shape[1])
+        l_guess = max(round_up(l, 64), 64)
+        if l_guess >= self.window:
+            self.free.append(slot)
+            raise ValueError(f"prompt ({l_guess}) does not fit window {self.window}")
+        # Pin the prefill window to the serving window: identical su-rope
+        # regime + table, and the adopted cache columns line up 1:1.
+        logits, src_state, l_pad, src_window = run_prefill(
+            self.lm, dict_input, max_tokens=self.window - l_guess
+        )
+        assert src_window == self.window, (src_window, self.window)
+        first = int(np.argmax(jax.device_get(logits), axis=-1)[0])
+
+        if l_pad not in self._adopt_fns:
+            cfg = self.lm.cfg
+            self._adopt_fns[l_pad] = jax.jit(
+                lambda t, slot, src, tok, pads, _l=l_pad: _adopt(
+                    cfg, SlotState.from_tree(t), slot, src, tok, _l, pads
+                ).tree()
+            )
+        self.state = SlotState.from_tree(
+            self._adopt_fns[l_pad](
+                self.state.tree(), jnp.asarray(slot, jnp.int32), src_state,
+                jnp.asarray(first, jnp.int32), jnp.asarray(l_pad - l, jnp.int32),
+            )
+        )
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(
+            rid=rid, slot=slot, tokens=[first], max_tokens=max_tokens, l_pad=l_pad
+        )
+        if first == self.lm.eos_id:
+            req.done = True
+            self.free.append(slot)
+        else:
+            self.by_slot[slot] = req
+        self.requests[rid] = req
+        return rid
+
+    # -- decode -------------------------------------------------------------
+
+    def pending(self) -> bool:
+        return bool(self.by_slot)
+
+    def step(self) -> Dict[int, int]:
+        """One decode step for all active slots; returns {rid: token}."""
+        if not self.by_slot:
+            return {}
+        if self._step_fn is None:
+            cfg = self.lm.cfg
+
+            def f(params, tree, active):
+                nxt, st = _decode_step(params, cfg, SlotState.from_tree(tree), active)
+                return nxt, st.tree()
+
+            self._step_fn = jax.jit(f, donate_argnums=(1,))
+        active = np.zeros((self.slots,), bool)
+        for slot in self.by_slot:
+            active[slot] = True
+        nxt, tree = self._step_fn(self.lm.params, self.state.tree(), jnp.asarray(active))
+        self.state = SlotState.from_tree(tree)
+        toks = jax.device_get(nxt)
+        out = {}
+        for slot, req in list(self.by_slot.items()):
+            tok = int(toks[slot])
+            req.tokens.append(tok)
+            out[req.rid] = tok
+            hit_window = req.l_pad + len(req.tokens) >= self.window - 1
+            if (
+                tok == self.lm.eos_id
+                or len(req.tokens) >= req.max_tokens
+                or hit_window
+            ):
+                req.done = True
+                del self.by_slot[slot]
+                self.free.append(slot)
+        return out
+
+    # -- results ------------------------------------------------------------
+
+    def tokens(self, rid: int) -> List[int]:
+        """Raw generated token ids (EOS-trimmed)."""
+        toks = self.requests[rid].tokens
+        if self.lm.eos_id in toks:
+            toks = toks[: toks.index(self.lm.eos_id)]
+        return list(toks)
+
+    def result(self, rid: int) -> str:
+        return self.processor.tokenizer.decode(self.tokens(rid))
