@@ -62,12 +62,109 @@ def make_handler(preload):
     return CompletionHandler
 
 
-def serve(host: str = "127.0.0.1", port: int = 8000, preload=None, **load_kwargs):
+class ContinuousScheduler:
+    """Thread-safe front end over :class:`engine.batching.BatchEngine`.
+
+    HTTP handler threads call :meth:`complete`; a single pump thread drives
+    ``engine.step()`` so the device always decodes the full active batch —
+    requests arriving mid-decode join the running batch instead of queueing
+    behind it (the reference can only batch prompts that arrive together).
+    """
+
+    def __init__(self, lm, processor, slots: int = 4, window: int = 1024):
+        import threading
+
+        from ..engine.batching import BatchEngine
+
+        self.engine = BatchEngine(lm, processor, slots=slots, window=window)
+        self._cv = threading.Condition()
+        self._done: dict = {}
+        threading.Thread(target=self._pump, daemon=True).start()
+
+    def complete(self, prompt: str, max_tokens: int) -> str:
+        import threading
+
+        with self._cv:
+            while not self.engine.free:
+                self._cv.wait()
+            rid = self.engine.submit(prompt, max_tokens=max_tokens)
+            self._cv.notify_all()
+            while not self.engine.requests[rid].done:
+                self._cv.wait()
+            return self.engine.result(rid)
+
+    def _pump(self):
+        while True:
+            with self._cv:
+                while not self.engine.pending():
+                    self._cv.wait()
+                before = set(self.engine.by_slot)
+                self.engine.step()
+                if before - set(self.engine.by_slot):  # someone finished
+                    self._cv.notify_all()
+
+
+def make_continuous_handler(scheduler: ContinuousScheduler):
+    class ContinuousHandler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/v1/completions":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                prompts = body.get("prompt", "")
+                prompts = [prompts] if isinstance(prompts, str) else prompts
+                max_tokens = int(body.get("max_tokens", 128))
+                responses = [
+                    scheduler.complete(p, max_tokens) for p in prompts
+                ]
+                payload = json.dumps(
+                    {"model": "phi-3-vision-tpu", "responses": responses}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            except Exception as e:
+                err = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(err)))
+                self.end_headers()
+                self.wfile.write(err)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return ContinuousHandler
+
+
+def serve(
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    preload=None,
+    continuous: bool = False,
+    slots: int = 4,
+    window: int = 1024,
+    **load_kwargs,
+):
     from ..api import load
 
     preload = preload or load(**load_kwargs)
-    httpd = HTTPServer((host, port), make_handler(preload))
-    print(f"Serving on http://{host}:{port}/v1/completions")
+    if continuous:
+        from http.server import ThreadingHTTPServer
+
+        scheduler = ContinuousScheduler(*preload, slots=slots, window=window)
+        httpd = ThreadingHTTPServer((host, port), make_continuous_handler(scheduler))
+        print(
+            f"Serving (continuous batching, {slots} slots x {window} window) "
+            f"on http://{host}:{port}/v1/completions"
+        )
+    else:
+        httpd = HTTPServer((host, port), make_handler(preload))
+        print(f"Serving on http://{host}:{port}/v1/completions")
     httpd.serve_forever()
 
 
@@ -79,5 +176,12 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--blind", action="store_true")
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--continuous", action="store_true",
+                    help="continuous batching over a slot pool")
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--window", type=int, default=1024)
     a = ap.parse_args()
-    serve(a.host, a.port, blind_model=a.blind, quantize_model=a.quantize)
+    serve(
+        a.host, a.port, blind_model=a.blind, quantize_model=a.quantize,
+        continuous=a.continuous, slots=a.slots, window=a.window,
+    )

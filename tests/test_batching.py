@@ -74,3 +74,33 @@ def test_mid_run_admission_and_slot_reuse(lmproc):
     assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 10)
     assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 10)
     assert eng.tokens(rc) == _single_tokens(lm, proc, pc, 8)
+
+
+def test_continuous_scheduler_threads(lmproc):
+    """Three concurrent requests through 2 slots: no deadlock, results match
+    a plain BatchEngine run of the same prompts."""
+    import threading
+
+    from phi_3_vision_mlx_tpu.serve.server import ContinuousScheduler
+
+    lm, proc = lmproc
+    sched = ContinuousScheduler(lm, proc, slots=2, window=128)
+    prompts = ["First request.", "Second request!", "Third request?"]
+    results = {}
+
+    def worker(p):
+        results[p] = sched.complete(p, max_tokens=8)
+
+    threads = [threading.Thread(target=worker, args=(p,)) for p in prompts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "scheduler deadlocked"
+
+    ref = BatchEngine(lm, proc, slots=1, window=128)
+    for p in prompts:
+        rid = ref.submit(p, max_tokens=8)
+        while ref.pending():
+            ref.step()
+        assert results[p] == ref.result(rid), p
