@@ -108,6 +108,23 @@ def demo_benchmark():
                  dataset_path="synthetic")
 
 
+def demo_continuous_batching():
+    # production serving: requests join/leave a fixed slot pool independently
+    from phi_3_vision_mlx_tpu.api import load
+    from phi_3_vision_mlx_tpu.engine.batching import BatchEngine
+
+    lm, proc = load(blind_model=True)
+    eng = BatchEngine(lm, proc, slots=2, window=256)
+    first = eng.submit("Tell me about lighthouses.", max_tokens=24)
+    for _ in range(5):
+        eng.step()
+    second = eng.submit("And about TPUs?", max_tokens=24)  # joins mid-decode
+    while eng.pending():
+        eng.step()
+    print(eng.result(first))
+    print(eng.result(second))
+
+
 if __name__ == "__main__":
     demo_generate()
     demo_choose()
@@ -116,3 +133,4 @@ if __name__ == "__main__":
     demo_agent()
     demo_icl()
     demo_benchmark()
+    demo_continuous_batching()
