@@ -247,9 +247,9 @@ def main():
         res = ALL_RUNNABLE[name]()
         print(json.dumps(res))
         by_metric[res["metric"]] = res
-    doc["measurements"] = list(by_metric.values())
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=2)
+        doc["measurements"] = list(by_metric.values())
+        with open(path, "w") as f:  # write after every workload: a later
+            json.dump(doc, f, indent=2)  # crash must not drop earlier results
 
 
 if __name__ == "__main__":
