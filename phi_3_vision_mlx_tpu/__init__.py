@@ -53,6 +53,8 @@ _LAZY = {
     "VDB": ".models.gte",
     # serving / UI
     "chat_ui": ".serve.ui",
+    "BatchEngine": ".engine.batching",
+    "ContinuousScheduler": ".serve.server",
     # config/presets for programmatic use
     "ModelConfig": ".core.config",
     "preset": ".core.config",

@@ -17,8 +17,8 @@ TPU-first design — everything static-shaped:
   compiled ``adopt`` op copies its cache columns into the slot.  Finished
   slots are simply marked free — the next admission overwrites them.
 
-Greedy decoding, text-only, dense bf16 cache (the quantized-cache variant
-follows the same structure; see engine/state.py).
+Greedy decoding, text-only; serves both the dense cache and the packed
+int4/int8-quantized cache (engine/state.py layouts).
 """
 
 from __future__ import annotations
@@ -63,6 +63,22 @@ class SlotState:
 def _init_slots(cfg: ModelConfig, slots: int, window: int, dtype):
     nl, kvh, d = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = su_rope_tables(cfg, window)  # (1, W, D)
+    if cfg.use_quantized_cache:
+        # packed quantized layout (engine/state.py init_state): kv_k holds the
+        # uint8 payload (L last), kv_v the fused bf16 scale/bias planes.
+        g = cfg.kv_quant.group_size
+        groups = max(1, d // g)
+        payload_rows = d if cfg.kv_quant.bits == 4 else 2 * d
+        return SlotState(
+            kv_k=jnp.zeros((nl, slots, kvh, payload_rows, window), jnp.uint8),
+            kv_v=jnp.zeros((nl, slots, kvh, 4 * groups, window), jnp.bfloat16),
+            offsets=jnp.zeros((slots,), jnp.int32),
+            pads=jnp.zeros((slots,), jnp.int32),
+            valid=jnp.zeros((slots, window), bool),
+            cos=jnp.broadcast_to(cos, (slots,) + cos.shape[1:]),
+            sin=jnp.broadcast_to(sin, (slots,) + sin.shape[1:]),
+            tokens=jnp.zeros((slots,), jnp.int32),
+        )
     return SlotState(
         kv_k=jnp.zeros((nl, slots, kvh, window, d), dtype),
         kv_v=jnp.zeros((nl, slots, kvh, window, d), dtype),
@@ -107,6 +123,8 @@ def _decode_step(params, cfg: ModelConfig, st: SlotState, active):
     kv_k, kv_v = st.kv_k, st.kv_v
     scale = cfg.head_dim**-0.5
 
+    quantized = cfg.use_quantized_cache
+
     def body(carry, xs):
         y, kk, vv = carry
         lp, li = xs
@@ -115,18 +133,34 @@ def _decode_step(params, cfg: ModelConfig, st: SlotState, active):
         q, k, v = phi3._qkv_split(cfg, qkv)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        # scatter the fresh column at each slot's own offset
-        kk = kk.at[li, slot_ids, :, st.offsets].set(
-            k[:, :, 0, :].astype(kk.dtype), mode="drop"
-        )
-        vv = vv.at[li, slot_ids, :, st.offsets].set(
-            v[:, :, 0, :].astype(vv.dtype), mode="drop"
-        )
-        kc = lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
-        vc = lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
+        from ..engine.state import LayerKV, quantize_chunk, read_kv
         from ..ops.attention import masked_attention
 
-        o = masked_attention(q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale)
+        if quantized:
+            # quantize the fresh column, scatter payload + scale planes
+            entries = quantize_chunk(k, v, cfg.kv_quant, True)
+            kk = kk.at[li, slot_ids, :, :, st.offsets].set(
+                entries.k[..., 0], mode="drop"
+            )
+            vv = vv.at[li, slot_ids, :, :, st.offsets].set(
+                entries.k_scales[..., 0].astype(vv.dtype), mode="drop"
+            )
+            lkv = LayerKV(
+                k=lax.dynamic_index_in_dim(kk, li, 0, keepdims=False),
+                k_scales=lax.dynamic_index_in_dim(vv, li, 0, keepdims=False),
+            )
+            kc, vc = read_kv(lkv, y.dtype, cfg.kv_quant.bits)
+        else:
+            # scatter the fresh column at each slot's own offset
+            kk = kk.at[li, slot_ids, :, st.offsets].set(
+                k[:, :, 0, :].astype(kk.dtype), mode="drop"
+            )
+            vv = vv.at[li, slot_ids, :, st.offsets].set(
+                v[:, :, 0, :].astype(vv.dtype), mode="drop"
+            )
+            kc = lax.dynamic_index_in_dim(kk, li, 0, keepdims=False).astype(y.dtype)
+            vc = lax.dynamic_index_in_dim(vv, li, 0, keepdims=False).astype(y.dtype)
+        o = masked_attention(q, kc, vc, allowed, scale)
         o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
         y = y + phi3._dense_at(lp, heavy, ("self_attn", "o_proj"), o, li).astype(y.dtype)
         hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
@@ -162,15 +196,25 @@ def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
     src_state: the single-request DecodeState from run_prefill (batch 1,
     window >= l_pad).  Static ``l_pad`` keeps the copy shape compiled.
     """
-    # dense cache only for now
-    k_cols = src_state.kv.k[:, 0, :, :l_pad]  # (nl, KV, l_pad, D)
-    v_cols = src_state.kv.v[:, 0, :, :l_pad]
-    kv_k = lax.dynamic_update_slice(
-        st.kv_k, k_cols[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)
-    )
-    kv_v = lax.dynamic_update_slice(
-        st.kv_v, v_cols[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)
-    )
+    if cfg.use_quantized_cache:
+        # quantized layout keeps L last: copy payload + scale-plane columns
+        k_cols = src_state.kv.k[:, 0, :, :, :l_pad]  # (nl, KV, rows, l_pad)
+        s_cols = src_state.kv.k_scales[:, 0, :, :, :l_pad]
+        kv_k = lax.dynamic_update_slice(
+            st.kv_k, k_cols[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)
+        )
+        kv_v = lax.dynamic_update_slice(
+            st.kv_v, s_cols[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)
+        )
+    else:
+        k_cols = src_state.kv.k[:, 0, :, :l_pad]  # (nl, KV, l_pad, D)
+        v_cols = src_state.kv.v[:, 0, :, :l_pad]
+        kv_k = lax.dynamic_update_slice(
+            st.kv_k, k_cols[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)
+        )
+        kv_v = lax.dynamic_update_slice(
+            st.kv_v, v_cols[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)
+        )
     w = st.valid.shape[1]
     row_valid = jnp.concatenate(
         [src_state.valid[0, :l_pad], jnp.zeros((w - l_pad,), bool)]
@@ -216,10 +260,6 @@ class BatchEngine:
             raise ValueError("window must be a multiple of 128 (engine bucketing)")
         self.window = window
         dtype = jnp.dtype(lm.cfg.dtype)
-        if lm.cfg.use_quantized_cache:
-            raise NotImplementedError(
-                "BatchEngine currently serves the dense cache"
-            )
         self.state = _init_slots(lm.cfg, slots, window, dtype)
         self.free: List[int] = list(range(slots))
         self.requests: Dict[int, _Request] = {}

@@ -104,3 +104,21 @@ def test_continuous_scheduler_threads(lmproc):
         while ref.pending():
             ref.step()
         assert results[p] == ref.result(rid), p
+
+
+def test_quantized_cache_batching(lmproc, tmp_path):
+    """BatchEngine over the packed int4 quantized cache: token-exact vs
+    single-stream quantized decoding (same quantize-at-write bytes)."""
+    lm0, proc = lmproc
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+
+    cfg_q = lm0.cfg.replace(use_quantized_cache=True)
+    lm = LM(cfg_q, lm0.params)
+    eng = BatchEngine(lm, proc, slots=2, window=128)
+    pa, pb = "Quantized request A.", "Quantized request B!"
+    ra = eng.submit(pa, max_tokens=10)
+    rb = eng.submit(pb, max_tokens=10)
+    while eng.pending():
+        eng.step()
+    assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 10)
+    assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 10)
