@@ -6,7 +6,10 @@ Workloads (BASELINE.md configs + ROADMAP long-context targets):
   dense8k   - dense-cache decode in an 8K window
   quant8k   - int4 group-32 quantized-KV decode in an 8K window
   quant32k  - quantized-KV decode in a 32K window (BASELINE config 5)
+  prefill32k- 32K-token prefill throughput (chunked prefill + flash kernel)
   vqa       - single-image VQA prefill latency
+  chat      - interactive profile: first-token latency, adaptive chunk ramp
+  quant64k  - (full-chip HBM only; not in the default run)
 
 Run all: ``python bench_extra.py``; subset: ``python bench_extra.py quant8k``.
 Each workload prints one JSON line; results merge into BENCH_EXTRA.json.
