@@ -183,8 +183,15 @@ def generate(
     apply_chat_template=True,
     enable_api=False,
     mute=False,
+    sample=False,
+    temperature=1.0,
+    top_p=1.0,
+    seed=0,
 ):
-    """Greedy batched generation with streaming (reference :1324-1374)."""
+    """Batched generation with streaming (reference :1324-1374).
+
+    Greedy by default (reference parity); ``sample=True`` enables on-device
+    temperature / nucleus sampling (``temperature``, ``top_p``, ``seed``)."""
     if isinstance(prompt, str) and "<|api_input|>" in prompt and enable_api:
         from .agent.tools import get_api
 
@@ -207,6 +214,10 @@ def generate(
         early_stop=early_stop,
         stream=stream,
         mute=mute,
+        sample=sample,
+        temperature=temperature,
+        top_p=top_p,
+        seed=seed,
     )
 
 

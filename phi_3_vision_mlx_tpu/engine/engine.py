@@ -59,6 +59,28 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def sample_token(logits, key, temperature: float, top_p: float):
+    """Temperature + nucleus (top-p) sampling, fully on-device.
+
+    The reference decodes greedily only (argmax, phi_3_vision_mlx.py:386);
+    this is the serving-grade extension.  ``top_p >= 1`` skips the nucleus
+    filter; the top-1 token is always kept so ``top_p -> 0`` degrades to
+    greedy rather than to an empty support set.
+
+    logits: (B, V) f32; returns (B,) int32.
+    """
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_p < 1.0:
+        sorted_desc = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose *preceding* mass is < top_p (top-1 always kept)
+        keep = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
+        thresh = jnp.take_along_axis(sorted_desc, keep - 1, axis=-1)
+        logits = jnp.where(logits >= thresh, logits, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 class LM:
     """A loaded model: config + params + a cache of compiled step functions.
 
@@ -193,28 +215,39 @@ class LM:
 
         return self._fn(("extend", b, l, window), build, donate=(2,))
 
-    def chunk_fn(self, b: int, window: int, n_steps: int):
+    def chunk_fn(self, b: int, window: int, n_steps: int, sampler=None):
+        """Compiled CHUNK-step decode scan.
+
+        ``sampler``: None for greedy (reference parity) or a static
+        ``(temperature, top_p)`` pair — token selection then runs
+        :func:`sample_token` on-device with a per-step folded rng key.
+        """
         cfg, eos_id = self.cfg, self.eos_id
 
         def build():
-            def f(params, token, state):
-                def body(carry, _):
+            def f(params, token, state, key):
+                def body(carry, step_i):
                     tok, st = carry
                     res = phi3.decode_forward(params, cfg, st, input_ids=tok)
                     logits = res.logits[:, -1, :].astype(jnp.float32)
                     lp = jax.nn.log_softmax(logits, axis=-1)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                    if sampler is None:
+                        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                    else:
+                        nxt = sample_token(
+                            logits, jax.random.fold_in(key, step_i), *sampler
+                        )[:, None]
                     stats = (nxt[:, 0], lp.max(axis=-1), lp[:, eos_id])
                     return (nxt, res.state), stats
 
                 (tok_f, st_f), (toks, maxlp, eoslp) = lax.scan(
-                    body, (token, state), None, length=n_steps
+                    body, (token, state), jnp.arange(n_steps)
                 )
                 return tok_f, st_f, toks, maxlp, eoslp
 
             return f
 
-        return self._fn(("chunk", b, window, n_steps), build, donate=(2,))
+        return self._fn(("chunk", b, window, n_steps, sampler), build, donate=(2,))
 
     def score_fn(self, b: int, l: int, window: int, advance: Optional[int]):
         """Score an L-token chunk, committing ``advance`` positions
@@ -432,9 +465,14 @@ def generate_text(
     early_stop=False,
     stream: bool = True,
     mute: bool = False,
+    sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    seed: int = 0,
 ):
     if images is not None and isinstance(prompt, list):
         raise ValueError("Images cannot be provided when prompt is a list")
+    sampler = (float(temperature), float(top_p)) if sample else None
     dict_input = processor(prompt, images)
     b = int(np.asarray(dict_input["input_ids"]).shape[0])
 
@@ -448,7 +486,17 @@ def generate_text(
     last_logits, state, l_pad, window = run_prefill(
         lm, dict_input, max_tokens, inputs_embeds=inputs_embeds
     )
-    token = np.argmax(jax.device_get(last_logits), axis=-1).astype(np.int32)[:, None]
+    base_key = jax.random.PRNGKey(seed)
+    if sampler is None:
+        token = np.argmax(jax.device_get(last_logits), axis=-1).astype(np.int32)[:, None]
+    else:
+        first_fn = lm._fn(
+            ("sample1", b, sampler),
+            lambda: (lambda lg, k: sample_token(lg, k, *sampler)),
+        )
+        token = np.asarray(
+            jax.device_get(first_fn(jnp.asarray(last_logits), base_key))
+        ).astype(np.int32)[:, None]
     streamer(token)
     prompt_time = tic()
 
@@ -463,11 +511,15 @@ def generate_text(
         step_timer = StepTimer()
         step_timer.tick()
     chunk, chunk_max = _chunk_schedule()
+    chunk_i = 0
     while n_emitted < max_tokens and not stop:
         n_steps = min(chunk, max_tokens - n_emitted)
         chunk = min(chunk * 4, chunk_max)
-        fn = lm.chunk_fn(b, window, n_steps)
-        tok_dev, state, toks, maxlp, eoslp = fn(lm.params, tok_dev, state)
+        fn = lm.chunk_fn(b, window, n_steps, sampler=sampler)
+        chunk_i += 1
+        tok_dev, state, toks, maxlp, eoslp = fn(
+            lm.params, tok_dev, state, jax.random.fold_in(base_key, chunk_i)
+        )
         toks = jax.device_get(toks)  # (n, B)
         maxlp = jax.device_get(maxlp)
         eoslp = jax.device_get(eoslp)
