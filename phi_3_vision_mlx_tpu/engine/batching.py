@@ -259,14 +259,18 @@ class BatchEngine:
         if window % 128:
             raise ValueError("window must be a multiple of 128 (engine bucketing)")
         self.window = window
-        dtype = jnp.dtype(lm.cfg.dtype)
-        self.state = _init_slots(lm.cfg, slots, window, dtype)
+        self.state = self._init_state()
         self.free: List[int] = list(range(slots))
         self.requests: Dict[int, _Request] = {}
         self.by_slot: Dict[int, _Request] = {}
         self._next_rid = 0
         self._step_fn = None
         self._adopt_fns = {}
+
+    def _init_state(self):
+        return _init_slots(
+            self.lm.cfg, self.slots, self.window, jnp.dtype(self.lm.cfg.dtype)
+        )
 
     # -- admission ----------------------------------------------------------
 

@@ -122,3 +122,43 @@ def test_quantized_cache_batching(lmproc, tmp_path):
         eng.step()
     assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 10)
     assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 10)
+
+
+def test_paged_engine_matches_single_stream(lmproc):
+    """Paged pool at HALF the dense reservation serves the same requests
+    token-exactly, including mid-run admission, page growth across
+    boundaries, and page reuse after completion."""
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    eng = PagedBatchEngine(
+        lm, proc, slots=2, window=128, page_size=32,
+        pool_pages=2 * (128 // 32) // 2 + 2,  # half reservation + slack
+    )
+    pa, pb, pc = "Paged request one.", "Paged request two!", "Paged request 3?"
+    ra = eng.submit(pa, max_tokens=40)  # crosses a 32-col page boundary
+    for _ in range(3):
+        eng.step()
+    rb = eng.submit(pb, max_tokens=10)
+    while eng.pending():
+        eng.step()
+    rc = eng.submit(pc, max_tokens=8)  # reuses freed pages
+    while eng.pending():
+        eng.step()
+    assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 40)
+    assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 10)
+    assert eng.tokens(rc) == _single_tokens(lm, proc, pc, 8)
+    # all pages returned
+    assert len(eng._free_pages) == eng.pool_pages
+
+
+def test_paged_pool_exhaustion_raises(lmproc):
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    eng = PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                           pool_pages=1)  # a 64-token prompt needs 2 pages
+    with pytest.raises(RuntimeError):
+        eng.submit("This prompt needs more pages than the pool has.",
+                   max_tokens=100)
+    assert len(eng._free_pages) == 1 and len(eng.free) == 2
