@@ -81,6 +81,17 @@ def _init_paged(cfg: ModelConfig, slots: int, window: int, page: int,
     )
 
 
+def _use_paged_kernel() -> bool:
+    import os
+
+    if os.environ.get("PHI3V_TPU_PAGED_KERNEL", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _paged_decode_step(params, cfg: ModelConfig, st: PagedState, active,
                        page: int):
     """One greedy step for all slots over the paged pool."""
@@ -129,12 +140,24 @@ def _paged_decode_step(params, cfg: ModelConfig, st: PagedState, active,
         )
         layer_k = lax.dynamic_index_in_dim(pk, li, 0, keepdims=False)  # (P,KV,pg,D)
         layer_v = lax.dynamic_index_in_dim(pv, li, 0, keepdims=False)
-        # gather each slot's pages -> its logical (KV, W, D) window view
-        kc = layer_k[gather_pt]  # (S, mp, KV, pg, D)
-        vc = layer_v[gather_pt]
-        kc = kc.transpose(0, 2, 1, 3, 4).reshape(s, kc.shape[2], mp * page, -1)
-        vc = vc.transpose(0, 2, 1, 3, 4).reshape(s, vc.shape[2], mp * page, -1)
-        o = masked_attention(q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale)
+        if _use_paged_kernel():
+            # Pallas path: the page table drives the BlockSpec index map, so
+            # each grid step DMAs exactly one page — no gathered window copy.
+            from ..ops.kernels.kv_attention import paged_kv_attention
+
+            o = paged_kv_attention(
+                q, layer_k, layer_v, st.page_tables, st.valid, st.offsets,
+                scale=scale,
+            ).astype(y.dtype)
+        else:
+            # XLA path: gather each slot's pages -> logical (KV, W, D) view
+            kc = layer_k[gather_pt]  # (S, mp, KV, pg, D)
+            vc = layer_v[gather_pt]
+            kc = kc.transpose(0, 2, 1, 3, 4).reshape(s, kc.shape[2], mp * page, -1)
+            vc = vc.transpose(0, 2, 1, 3, 4).reshape(s, vc.shape[2], mp * page, -1)
+            o = masked_attention(
+                q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale
+            )
         o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
         y = y + phi3._dense_at(lp, heavy, ("self_attn", "o_proj"), o, li).astype(y.dtype)
         hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)

@@ -1,0 +1,51 @@
+"""Paged decode-attention Pallas kernel vs the XLA gather path (interpret)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phi_3_vision_mlx_tpu.ops.attention import masked_attention
+from phi_3_vision_mlx_tpu.ops.kernels.kv_attention import paged_kv_attention
+
+
+def test_paged_kernel_matches_gathered_window():
+    rng = np.random.default_rng(0)
+    s, h, kvh, d, pg, mp, pool = 3, 8, 4, 32, 16, 4, 10
+    w = mp * pg
+
+    q = jnp.asarray(rng.standard_normal((s, h, 1, d)), jnp.float32)
+    pool_k = jnp.asarray(rng.standard_normal((pool, kvh, pg, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((pool, kvh, pg, d)), jnp.float32)
+
+    # slot 0: 2.5 pages committed (offset 40, pads 0); slot 1: 1 page + pads;
+    # slot 2: stale/unallocated tail (sentinel entries)
+    page_tables = jnp.asarray(
+        [[0, 1, 2, pool], [3, 4, pool, pool], [5, pool, pool, pool]], jnp.int32
+    )
+    offsets = jnp.asarray([40, 17, 9], jnp.int32)
+    valid = np.zeros((s, w), bool)
+    valid[0, :40] = True
+    valid[1, 4:17] = True  # left-pad: first 4 invalid
+    valid[2, :9] = True
+    valid = jnp.asarray(valid)
+
+    out = paged_kv_attention(
+        q, pool_k, pool_v, page_tables, valid, offsets, scale=d**-0.5,
+        interpret=True,
+    )
+
+    # reference: gather the logical windows, then masked XLA attention
+    gpt = jnp.minimum(page_tables, pool - 1)
+    kc = pool_k[gpt].transpose(0, 2, 1, 3, 4).reshape(s, kvh, w, d)
+    vc = pool_v[gpt].transpose(0, 2, 1, 3, 4).reshape(s, kvh, w, d)
+    key_pos = jnp.arange(w)
+    allowed = (
+        ((key_pos[None, :] < offsets[:, None]) & valid)
+        | (key_pos[None, :] == offsets[:, None])
+    )[:, None, None, :]
+    ref = masked_attention(q, kc, vc, allowed, d**-0.5)
+
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,  # kernel computes k/v in bf16
+    )
