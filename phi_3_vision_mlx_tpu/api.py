@@ -63,6 +63,12 @@ def _setup(allow_random: bool = None):
                 ) from e
             n_layers = int(os.environ.get("PHI3V_TPU_RANDOM_LAYERS", "0")) or None
             overrides = {"num_hidden_layers": n_layers} if n_layers else {}
+            # Arbitrary shrink for smoke runs on weak hosts, e.g.
+            # PHI3V_TPU_RANDOM_OVERRIDES='{"hidden_size":256,"intermediate_size":512,
+            # "num_attention_heads":8,"num_key_value_heads":8}'
+            extra = os.environ.get("PHI3V_TPU_RANDOM_OVERRIDES")
+            if extra:
+                overrides.update(json.loads(extra))
             W.create_random_checkpoint(local, preset_name, **overrides)
             W.quantize_checkpoint(local, quant)
 
