@@ -104,7 +104,9 @@ def demo_icl():
 
 
 def demo_benchmark():
-    pv.benchmark(blind_model=True, train_first=False, max_tokens=32,
+    # train_first fits the 1-sample LoRA for every model dir, as the
+    # reference benchmark does (its lora config loads those adapters)
+    pv.benchmark(blind_model=True, train_first=True, max_tokens=32,
                  dataset_path="synthetic")
 
 

@@ -349,10 +349,11 @@ def paged_kv_attention(
     qr = q.reshape(s, kvh, g, lq, d).reshape(s * kvh, g * lq, d).astype(jnp.bfloat16)
     if rows_pad != rows:
         qr = jnp.pad(qr, [(0, 0), (0, rows_pad - rows), (0, 0)])
+    # (S*KV, mp, 1, pg): the page dim indexes blocks; trailing (1, pg) keeps
+    # Mosaic's last-two-dims block rule satisfied.
     validr = jnp.repeat(
-        valid.reshape(s, mp, pg).astype(jnp.int32), kvh, axis=0
-    ).reshape(s * kvh, mp, pg)[:, None]  # (S*KV, 1, mp, pg) -> index per page
-    validr = validr.reshape(s * kvh, 1, mp, pg)
+        valid.reshape(s, 1, mp, pg).astype(jnp.int32), kvh, axis=1
+    ).reshape(s * kvh, mp, 1, pg)
 
     pt_flat = jnp.minimum(page_tables, p_pages - 1).reshape(-1)  # clamp sentinel
 
@@ -383,7 +384,7 @@ def paged_kv_attention(
                 pl.BlockSpec(
                     (1, 1, 1, pg),
                     lambda si, hi, pj, PT, O: (
-                        si * pl.num_programs(1) + hi, 0, pj, 0
+                        si * pl.num_programs(1) + hi, pj, 0, 0
                     ),
                 ),
             ],
