@@ -54,6 +54,7 @@ _LAZY = {
     # serving / UI
     "chat_ui": ".serve.ui",
     "BatchEngine": ".engine.batching",
+    "PagedBatchEngine": ".engine.paging",
     "ContinuousScheduler": ".serve.server",
     # config/presets for programmatic use
     "ModelConfig": ".core.config",
