@@ -18,8 +18,8 @@ step gathers each slot's pages into its logical window view; a Pallas
 refinement would instead feed the page table to the decode-attention
 kernel's BlockSpec index map (scalar prefetch) and skip the gather.
 
-Dense bf16 cache; greedy decoding (sampling composes the same way as the
-slot engine).
+Serves both the dense bf16 cache and the packed int4/int8-quantized cache;
+greedy decoding (sampling composes the same way as the slot engine).
 """
 
 from __future__ import annotations
@@ -68,6 +68,23 @@ def _init_paged(cfg: ModelConfig, slots: int, window: int, page: int,
                 pool_pages: int, dtype):
     nl, kvh, d = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = su_rope_tables(cfg, window)
+    if cfg.use_quantized_cache:
+        # packed quantized page layout (engine/state.py): pool_k = uint8
+        # payload pages (rows x pg, L last), pool_v = fused scale planes.
+        g = cfg.kv_quant.group_size
+        groups = max(1, d // g)
+        rows = d if cfg.kv_quant.bits == 4 else 2 * d
+        return PagedState(
+            pool_k=jnp.zeros((nl, pool_pages, kvh, rows, page), jnp.uint8),
+            pool_v=jnp.zeros((nl, pool_pages, kvh, 4 * groups, page), jnp.bfloat16),
+            page_tables=jnp.full((slots, window // page), pool_pages, jnp.int32),
+            offsets=jnp.zeros((slots,), jnp.int32),
+            pads=jnp.zeros((slots,), jnp.int32),
+            valid=jnp.zeros((slots, window), bool),
+            cos=jnp.broadcast_to(cos, (slots,) + cos.shape[1:]),
+            sin=jnp.broadcast_to(sin, (slots,) + sin.shape[1:]),
+            tokens=jnp.zeros((slots,), jnp.int32),
+        )
     return PagedState(
         pool_k=jnp.zeros((nl, pool_pages, kvh, page, d), dtype),
         pool_v=jnp.zeros((nl, pool_pages, kvh, page, d), dtype),
@@ -124,6 +141,8 @@ def _paged_decode_step(params, cfg: ModelConfig, st: PagedState, active,
 
     scale = cfg.head_dim**-0.5
 
+    quantized = cfg.use_quantized_cache
+
     def body(carry, xs):
         y, pk, pv = carry
         lp, li = xs
@@ -132,15 +151,42 @@ def _paged_decode_step(params, cfg: ModelConfig, st: PagedState, active,
         q, k, v = phi3._qkv_split(cfg, qkv)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        pk = pk.at[li, write_pid, :, write_col].set(
-            k[:, :, 0, :].astype(pk.dtype), mode="drop"
-        )
-        pv = pv.at[li, write_pid, :, write_col].set(
-            v[:, :, 0, :].astype(pv.dtype), mode="drop"
-        )
+        if quantized:
+            from ..engine.state import quantize_chunk
+
+            entries = quantize_chunk(k, v, cfg.kv_quant, True)
+            pk = pk.at[li, write_pid, :, :, write_col].set(
+                entries.k[..., 0], mode="drop"
+            )
+            pv = pv.at[li, write_pid, :, :, write_col].set(
+                entries.k_scales[..., 0].astype(pv.dtype), mode="drop"
+            )
+        else:
+            pk = pk.at[li, write_pid, :, write_col].set(
+                k[:, :, 0, :].astype(pk.dtype), mode="drop"
+            )
+            pv = pv.at[li, write_pid, :, write_col].set(
+                v[:, :, 0, :].astype(pv.dtype), mode="drop"
+            )
         layer_k = lax.dynamic_index_in_dim(pk, li, 0, keepdims=False)  # (P,KV,pg,D)
         layer_v = lax.dynamic_index_in_dim(pv, li, 0, keepdims=False)
-        if _use_paged_kernel():
+        if quantized:
+            from ..engine.state import LayerKV, read_kv
+
+            # gather pages -> the transposed quantized window (rows, W)
+            kq = layer_k[gather_pt]  # (S, mp, KV, rows, pg)
+            sq = layer_v[gather_pt]
+            kq = kq.transpose(0, 2, 3, 1, 4).reshape(
+                s, kq.shape[2], kq.shape[3], mp * page
+            )
+            sq = sq.transpose(0, 2, 3, 1, 4).reshape(
+                s, sq.shape[2], sq.shape[3], mp * page
+            )
+            kc, vc = read_kv(
+                LayerKV(k=kq, k_scales=sq), y.dtype, cfg.kv_quant.bits
+            )
+            o = masked_attention(q, kc, vc, allowed, scale)
+        elif _use_paged_kernel():
             # Pallas path: the page table drives the BlockSpec index map, so
             # each grid step DMAs exactly one page — no gathered window copy.
             from ..ops.kernels.kv_attention import paged_kv_attention
@@ -193,23 +239,40 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
     page_ids: (max_pages,) int32 — l_pad//page real ids then sentinel fill.
     """
     n_full = l_pad // page
-    # (nl, KV, l_pad, D) -> (n_full, nl, KV, page, D)
-    k_cols = src_state.kv.k[:, 0, :, :l_pad]
-    v_cols = src_state.kv.v[:, 0, :, :l_pad]
-    nl, kvh, _, d = k_cols.shape
+    if cfg.use_quantized_cache:
+        # transposed quantized layout: (nl, KV, rows, W) -> per-page slices
+        k_cols = src_state.kv.k[:, 0, :, :, :l_pad]
+        s_cols = src_state.kv.k_scales[:, 0, :, :, :l_pad]
+        nl, kvh, rows, _ = k_cols.shape
 
-    def pages_of(cols):
-        return (
-            cols.reshape(nl, kvh, n_full, page, d)
-            .transpose(2, 0, 1, 3, 4)
+        def pages_of(cols):
+            r = cols.shape[2]
+            return cols.reshape(nl, kvh, r, n_full, page).transpose(0, 3, 1, 2, 4)
+
+        pool_k = st.pool_k.at[:, page_ids[:n_full]].set(
+            pages_of(k_cols).astype(st.pool_k.dtype)
         )
+        pool_v = st.pool_v.at[:, page_ids[:n_full]].set(
+            pages_of(s_cols).astype(st.pool_v.dtype)
+        )
+    else:
+        # (nl, KV, l_pad, D) -> (nl, n_full, KV, page, D)
+        k_cols = src_state.kv.k[:, 0, :, :l_pad]
+        v_cols = src_state.kv.v[:, 0, :, :l_pad]
+        nl, kvh, _, d = k_cols.shape
 
-    pool_k = st.pool_k.at[:, page_ids[:n_full]].set(
-        jnp.swapaxes(pages_of(k_cols), 0, 1).astype(st.pool_k.dtype)
-    )
-    pool_v = st.pool_v.at[:, page_ids[:n_full]].set(
-        jnp.swapaxes(pages_of(v_cols), 0, 1).astype(st.pool_v.dtype)
-    )
+        def pages_of(cols):
+            return (
+                cols.reshape(nl, kvh, n_full, page, d)
+                .transpose(0, 2, 1, 3, 4)
+            )
+
+        pool_k = st.pool_k.at[:, page_ids[:n_full]].set(
+            pages_of(k_cols).astype(st.pool_k.dtype)
+        )
+        pool_v = st.pool_v.at[:, page_ids[:n_full]].set(
+            pages_of(v_cols).astype(st.pool_v.dtype)
+        )
     page_tables = st.page_tables.at[slot].set(page_ids)
     w = st.valid.shape[1]
     row_valid = jnp.concatenate(
@@ -236,8 +299,6 @@ class PagedBatchEngine(BatchEngine):
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
                  page_size: int = 64, pool_pages: int = 0):
-        if lm.cfg.use_quantized_cache:
-            raise NotImplementedError("PagedBatchEngine serves the dense cache")
         if 64 % page_size and page_size % 64:
             raise ValueError("page_size must divide or be a multiple of 64")
         if window % page_size:

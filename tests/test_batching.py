@@ -162,3 +162,23 @@ def test_paged_pool_exhaustion_raises(lmproc):
         eng.submit("This prompt needs more pages than the pool has.",
                    max_tokens=100)
     assert len(eng._free_pages) == 1 and len(eng.free) == 2
+
+
+def test_paged_engine_quantized_cache(lmproc):
+    """Paged pool over the packed int4 quantized cache: token-exact vs
+    single-stream quantized decoding."""
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm0, proc = lmproc
+    lm = LM(lm0.cfg.replace(use_quantized_cache=True), lm0.params)
+    eng = PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                           pool_pages=6)
+    pa, pb = "Quantized paged A.", "Quantized paged B!"
+    ra = eng.submit(pa, max_tokens=12)
+    rb = eng.submit(pb, max_tokens=12)
+    while eng.pending():
+        eng.step()
+    assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 12)
+    assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 12)
+    assert len(eng._free_pages) == 6
