@@ -71,12 +71,16 @@ class ContinuousScheduler:
     behind it (the reference can only batch prompts that arrive together).
     """
 
-    def __init__(self, lm, processor, slots: int = 4, window: int = 1024):
+    def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
+                 paged: bool = False, **engine_kw):
         import threading
 
-        from ..engine.batching import BatchEngine
+        if paged:
+            from ..engine.paging import PagedBatchEngine as Engine
+        else:
+            from ..engine.batching import BatchEngine as Engine
 
-        self.engine = BatchEngine(lm, processor, slots=slots, window=window)
+        self.engine = Engine(lm, processor, slots=slots, window=window, **engine_kw)
         self._cv = threading.Condition()
         self._done: dict = {}
         threading.Thread(target=self._pump, daemon=True).start()
@@ -148,6 +152,7 @@ def serve(
     continuous: bool = False,
     slots: int = 4,
     window: int = 1024,
+    paged: bool = False,
     **load_kwargs,
 ):
     from ..api import load
@@ -156,7 +161,9 @@ def serve(
     if continuous:
         from http.server import ThreadingHTTPServer
 
-        scheduler = ContinuousScheduler(*preload, slots=slots, window=window)
+        scheduler = ContinuousScheduler(
+            *preload, slots=slots, window=window, paged=paged
+        )
         httpd = ThreadingHTTPServer((host, port), make_continuous_handler(scheduler))
         print(
             f"Serving (continuous batching, {slots} slots x {window} window) "
@@ -180,8 +187,10 @@ if __name__ == "__main__":
                     help="continuous batching over a slot pool")
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--window", type=int, default=1024)
+    ap.add_argument("--paged", action="store_true",
+                    help="page-pool KV (engine/paging.py)")
     a = ap.parse_args()
     serve(
         a.host, a.port, blind_model=a.blind, quantize_model=a.quantize,
-        continuous=a.continuous, slots=a.slots, window=a.window,
+        continuous=a.continuous, slots=a.slots, window=a.window, paged=a.paged,
     )
