@@ -170,7 +170,21 @@ def _paged_decode_step(params, cfg: ModelConfig, st: PagedState, active,
             )
         layer_k = lax.dynamic_index_in_dim(pk, li, 0, keepdims=False)  # (P,KV,pg,D)
         layer_v = lax.dynamic_index_in_dim(pv, li, 0, keepdims=False)
-        if quantized:
+        if quantized and _use_paged_kernel() and cfg.kv_quant.bits == 4:
+            from ..ops.kernels.kv_attention import (
+                d_perm,
+                d_unperm,
+                paged_quantized_kv_attention,
+            )
+
+            groups = layer_v.shape[2] // 4
+            perm = d_perm(q.shape[-1], groups)
+            o_p = paged_quantized_kv_attention(
+                q[..., perm], layer_k, layer_v, st.page_tables, st.valid,
+                st.offsets, scale=scale,
+            )
+            o = o_p[..., d_unperm(q.shape[-1], groups)].astype(y.dtype)
+        elif quantized:
             from ..engine.state import LayerKV, read_kv
 
             # gather pages -> the transposed quantized window (rows, W)

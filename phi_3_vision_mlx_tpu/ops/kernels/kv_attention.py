@@ -413,6 +413,164 @@ def paged_kv_attention(
     return out[:, :rows].reshape(s, kvh, g, lq, d).reshape(s, h, lq, d)
 
 
+def _paged_q_kernel(
+    pt_ref,  # scalar prefetch: (S*mp,) int32 flattened page table
+    off_ref,  # scalar prefetch: (S,) int32 per-slot offsets
+    q_ref,  # (1, rows, d) — D-permuted queries
+    kv_ref,  # (1, 1, d, pg) uint8 nibble-packed [k | v<<4] page
+    sc_ref,  # (1, 1, 4G, pg) bf16 fused scale planes
+    valid_ref,  # (1, 1, 1, pg) int32
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    pg: int,
+    lq: int,
+    scale: float,
+):
+    si = pl.program_id(0)
+    pj = pl.program_id(2)
+
+    @pl.when(pj == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = q_ref.shape[-1]
+    groups = sc_ref.shape[-2] // 4
+    reps = d // groups
+    payload = kv_ref[0, 0].astype(jnp.int32)  # (d, pg)
+    sc = sc_ref[0, 0]  # (4G, pg)
+
+    def dequant(qp, scs, bis):
+        sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
+        bf = pltpu.repeat(bis, reps, 0).astype(jnp.float32)
+        return (qp.astype(jnp.float32) * sf + bf).astype(jnp.bfloat16)
+
+    k_t = dequant(payload & 15, sc[:groups], sc[groups : 2 * groups])  # (d, pg)
+    q = q_ref[0]
+    s = jax.lax.dot_general(
+        q, k_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s *= scale
+    q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
+    q_pos = off_ref[si] + q_rows
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + pj * pg
+    ok = ((key_pos < q_pos) & (valid_ref[0, 0, 0][None, :] > 0)) | (
+        key_pos == q_pos
+    )
+    s = jnp.where(ok, s, NEG_INF)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+    )
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+    v_t = dequant(payload >> 4, sc[2 * groups : 3 * groups], sc[3 * groups :])
+    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
+        p.astype(v_t.dtype), v_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pj == pl.num_programs(2) - 1)
+    def _store():
+        l = l_ref[...][:, : acc_ref.shape[1]]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_quantized_kv_attention(
+    q, pool_payload, pool_scales, page_tables, valid, offsets, *, scale: float,
+    interpret: bool = False,
+):
+    """Paged decode attention over the nibble-packed quantized page pool.
+
+    q: (S, H, Lq, D) — already D-permuted (see module docstring).
+    pool_payload: (P, KV, D, pg) uint8 [k | v<<4]; pool_scales: (P, KV, 4G, pg).
+    page_tables: (S, max_pages) int32; valid: (S, W); offsets: (S,).
+    Returns (S, H, Lq, D), still D-permuted.
+    """
+    s, h, lq, d = q.shape
+    p_pages, kvh, _, pg = pool_payload.shape
+    mp = page_tables.shape[1]
+    g = h // kvh
+    gq4 = pool_scales.shape[2]
+
+    rows = g * lq
+    rows_pad = max(8, -(-rows // 8) * 8)
+    qr = q.reshape(s, kvh, g, lq, d).reshape(s * kvh, g * lq, d).astype(jnp.bfloat16)
+    if rows_pad != rows:
+        qr = jnp.pad(qr, [(0, 0), (0, rows_pad - rows), (0, 0)])
+    validr = jnp.repeat(
+        valid.reshape(s, 1, mp, pg).astype(jnp.int32), kvh, axis=1
+    ).reshape(s * kvh, mp, 1, pg)
+    pt_flat = jnp.minimum(page_tables, p_pages - 1).reshape(-1)
+
+    grid = (s, kvh, mp)
+    out = pl.pallas_call(
+        functools.partial(_paged_q_kernel, pg=pg, lq=lq, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((s * kvh, rows_pad, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows_pad, d),
+                    lambda si, hi, pj, PT, O: (si * pl.num_programs(1) + hi, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, d, pg),
+                    lambda si, hi, pj, PT, O: (
+                        PT[si * pl.num_programs(2) + pj], hi, 0, 0
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, 1, gq4, pg),
+                    lambda si, hi, pj, PT, O: (
+                        PT[si * pl.num_programs(2) + pj], hi, 0, 0
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, pg),
+                    lambda si, hi, pj, PT, O: (
+                        si * pl.num_programs(1) + hi, pj, 0, 0
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_pad, d),
+                lambda si, hi, pj, PT, O: (si * pl.num_programs(1) + hi, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        pt_flat,
+        jnp.asarray(offsets, jnp.int32),
+        qr,
+        pool_payload,
+        pool_scales,
+        validr,
+    )
+    return out[:, :rows].reshape(s, kvh, g, lq, d).reshape(s, h, lq, d)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_k"))
 def quantized_kv_attention(
     q, kv_payload, kv_scales, valid, offset, layer_idx, *, scale: float,
