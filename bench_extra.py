@@ -193,6 +193,44 @@ def quant64k():
             "value": round(tps, 2), "unit": "tok/s"}
 
 
+def serve():
+    """Continuous-batching serving throughput: 8 staggered requests over 4
+    slots (requests join the running batch mid-decode)."""
+    from phi_3_vision_mlx_tpu.engine.batching import BatchEngine
+
+    lm, proc = _lm()
+    eng = BatchEngine(lm, proc, slots=4, window=512)
+    # warmup: compile prefill + adopt + step
+    r0 = eng.submit("warmup request", max_tokens=8)
+    while eng.pending():
+        eng.step()
+
+    t0 = time.perf_counter()
+    rids = []
+    pending_submits = [
+        (f"Request {i}: tell a story about topic {i}.", 128 + 32 * (i % 4))
+        for i in range(8)
+    ]
+    steps = 0
+    while pending_submits or eng.pending():
+        if pending_submits and eng.free:
+            prompt, n = pending_submits.pop(0)
+            rids.append(eng.submit(prompt, max_tokens=n))
+        if eng.pending():
+            eng.step()
+            steps += 1
+    dt = time.perf_counter() - t0
+    total = sum(len(eng.requests[r].tokens) for r in rids)
+    return {
+        "metric": "serving_aggregate_tps_continuous_batching",
+        "value": round(total / dt, 2),
+        "unit": "tok/s aggregate",
+        "note": f"8 staggered requests over 4 slots, {total} tokens in "
+                f"{dt:.1f}s ({steps} steps); single-token steps (no chunking)"
+                " — chunked slot decode is future work",
+    }
+
+
 def chat():
     """Interactive serving profile: adaptive chunk ramp (8 -> 256), first-token
     latency + decode-chunk latency percentiles (utils.profiler.StepTimer)."""
@@ -232,7 +270,7 @@ def chat():
 ALL = {
     "single": single, "batch11": batch11, "dense8k": dense8k,
     "quant8k": quant8k, "quant32k": quant32k,
-    "prefill32k": prefill32k, "vqa": vqa, "chat": chat,
+    "prefill32k": prefill32k, "vqa": vqa, "chat": chat, "serve": serve,
 }
 EXTRA = {"quant64k": quant64k}  # needs a full chip's HBM
 ALL_RUNNABLE = {**ALL, **EXTRA}
