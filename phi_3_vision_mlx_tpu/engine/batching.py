@@ -91,101 +91,116 @@ def _init_slots(cfg: ModelConfig, slots: int, window: int, dtype):
     )
 
 
-def _decode_step(params, cfg: ModelConfig, st: SlotState, active):
-    """One greedy decode step for every slot (inactive slots masked out).
+def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
+                  n_steps: int):
+    """``n_steps`` greedy decode steps for every slot in ONE dispatch.
 
-    active: (S,) bool.  Returns (next_tokens (S,), new state).
+    Chunking amortizes dispatch latency (through the remote tunnel a single
+    step costs ~30 ms of dispatch alone); requests join/leave only at chunk
+    boundaries, and a slot that finishes mid-chunk wastes at most the rest of
+    the chunk (host trims; adoption resets the slot).  active: (S,) bool.
+    Returns (tokens (n_steps, S), new state).
     """
     mdl = params["model"]
     s, w = st.valid.shape
     light, heavy = phi3._partition_heavy(mdl["layers"])
-    x = embedding(mdl["embed_tokens"], st.tokens[:, None]).astype(
-        jnp.dtype(cfg.dtype)
-    )  # (S, 1, E)
-
-    # Per-slot rope at each slot's own *logical* position: left-padded
-    # prompts continue from their true length, not the cache column
-    # (reference extended-pids semantics, phi.py:496-497).
-    idx = (st.offsets - st.pads)[:, None, None]  # (S,1,1)
-    cos = jnp.take_along_axis(st.cos, jnp.broadcast_to(idx, (s, 1, st.cos.shape[-1])), 1)
-    sin = jnp.take_along_axis(st.sin, jnp.broadcast_to(idx, (s, 1, st.sin.shape[-1])), 1)
-
-    # Per-slot causal mask: key_pos <= offset, past validity bits, plus the
-    # fresh token's own column (written inside the layer body before
-    # attending, so it must be visible this step even though its validity
-    # bit is only committed after the step).
     key_pos = jnp.arange(w)
     slot_ids = jnp.arange(s)
-    fresh = key_pos[None, :] == st.offsets[:, None]
-    allowed = ((key_pos[None, :] <= st.offsets[:, None]) & st.valid) | fresh
-    allowed = allowed[:, None, None, :]  # (S,1,1,W)
-
-    kv_k, kv_v = st.kv_k, st.kv_v
     scale = cfg.head_dim**-0.5
-
     quantized = cfg.use_quantized_cache
 
-    def body(carry, xs):
-        y, kk, vv = carry
-        lp, li = xs
-        h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
-        q, k, v = phi3._qkv_split(cfg, qkv)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
-        from ..engine.state import LayerKV, quantize_chunk, read_kv
-        from ..ops.attention import masked_attention
+    def one_step(carry, _):
+        tok, offsets, valid, kv_k, kv_v = carry
+        x = embedding(mdl["embed_tokens"], tok[:, None]).astype(
+            jnp.dtype(cfg.dtype)
+        )  # (S, 1, E)
 
-        if quantized:
-            # quantize the fresh column, scatter payload + scale planes
-            entries = quantize_chunk(k, v, cfg.kv_quant, True)
-            kk = kk.at[li, slot_ids, :, :, st.offsets].set(
-                entries.k[..., 0], mode="drop"
-            )
-            vv = vv.at[li, slot_ids, :, :, st.offsets].set(
-                entries.k_scales[..., 0].astype(vv.dtype), mode="drop"
-            )
-            lkv = LayerKV(
-                k=lax.dynamic_index_in_dim(kk, li, 0, keepdims=False),
-                k_scales=lax.dynamic_index_in_dim(vv, li, 0, keepdims=False),
-            )
-            kc, vc = read_kv(lkv, y.dtype, cfg.kv_quant.bits)
-        else:
-            # scatter the fresh column at each slot's own offset
-            kk = kk.at[li, slot_ids, :, st.offsets].set(
-                k[:, :, 0, :].astype(kk.dtype), mode="drop"
-            )
-            vv = vv.at[li, slot_ids, :, st.offsets].set(
-                v[:, :, 0, :].astype(vv.dtype), mode="drop"
-            )
-            kc = lax.dynamic_index_in_dim(kk, li, 0, keepdims=False).astype(y.dtype)
-            vc = lax.dynamic_index_in_dim(vv, li, 0, keepdims=False).astype(y.dtype)
-        o = masked_attention(q, kc, vc, allowed, scale)
-        o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
-        y = y + phi3._dense_at(lp, heavy, ("self_attn", "o_proj"), o, li).astype(y.dtype)
-        hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-        gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-        y = y + phi3._dense_at(lp, heavy, ("mlp", "down_proj"), ff, li).astype(y.dtype)
-        return (y, kk, vv), None
+        # Per-slot rope at each slot's own *logical* position: left-padded
+        # prompts continue from their true length, not the cache column
+        # (reference extended-pids semantics, phi.py:496-497).
+        idx = (offsets - st.pads)[:, None, None]
+        cos = jnp.take_along_axis(
+            st.cos, jnp.broadcast_to(idx, (s, 1, st.cos.shape[-1])), 1
+        )
+        sin = jnp.take_along_axis(
+            st.sin, jnp.broadcast_to(idx, (s, 1, st.sin.shape[-1])), 1
+        )
 
-    (x, kv_k, kv_v), _ = lax.scan(
-        body, (x, kv_k, kv_v), (light, jnp.arange(cfg.num_hidden_layers))
+        # Causal mask: past validity bits plus the fresh token's own column
+        # (written inside the layer body before attending; its validity bit
+        # commits after the step).
+        fresh = key_pos[None, :] == offsets[:, None]
+        allowed = ((key_pos[None, :] <= offsets[:, None]) & valid) | fresh
+        allowed = allowed[:, None, None, :]  # (S,1,1,W)
+
+        def body(carry, xs):
+            y, kk, vv = carry
+            lp, li = xs
+            h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+            qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
+            q, k, v = phi3._qkv_split(cfg, qkv)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+            from ..engine.state import LayerKV, quantize_chunk, read_kv
+            from ..ops.attention import masked_attention
+
+            if quantized:
+                entries = quantize_chunk(k, v, cfg.kv_quant, True)
+                kk = kk.at[li, slot_ids, :, :, offsets].set(
+                    entries.k[..., 0], mode="drop"
+                )
+                vv = vv.at[li, slot_ids, :, :, offsets].set(
+                    entries.k_scales[..., 0].astype(vv.dtype), mode="drop"
+                )
+                lkv = LayerKV(
+                    k=lax.dynamic_index_in_dim(kk, li, 0, keepdims=False),
+                    k_scales=lax.dynamic_index_in_dim(vv, li, 0, keepdims=False),
+                )
+                kc, vc = read_kv(lkv, y.dtype, cfg.kv_quant.bits)
+            else:
+                kk = kk.at[li, slot_ids, :, offsets].set(
+                    k[:, :, 0, :].astype(kk.dtype), mode="drop"
+                )
+                vv = vv.at[li, slot_ids, :, offsets].set(
+                    v[:, :, 0, :].astype(vv.dtype), mode="drop"
+                )
+                kc = lax.dynamic_index_in_dim(kk, li, 0, keepdims=False).astype(y.dtype)
+                vc = lax.dynamic_index_in_dim(vv, li, 0, keepdims=False).astype(y.dtype)
+            o = masked_attention(q, kc, vc, allowed, scale)
+            o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
+            y = y + phi3._dense_at(
+                lp, heavy, ("self_attn", "o_proj"), o, li
+            ).astype(y.dtype)
+            hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+            gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            y = y + phi3._dense_at(
+                lp, heavy, ("mlp", "down_proj"), ff, li
+            ).astype(y.dtype)
+            return (y, kk, vv), None
+
+        (x, kv_k, kv_v), _ = lax.scan(
+            body, (x, kv_k, kv_v), (light, jnp.arange(cfg.num_hidden_layers))
+        )
+        x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+        logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        new_valid = jnp.where(
+            active[:, None], valid.at[slot_ids, offsets].set(True), valid
+        )
+        new_offsets = jnp.where(active, offsets + 1, offsets)
+        new_tok = jnp.where(active, nxt, tok)
+        return (new_tok, new_offsets, new_valid, kv_k, kv_v), nxt
+
+    carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v)
+    (tok_f, off_f, valid_f, kv_k, kv_v), toks = lax.scan(
+        one_step, carry0, None, length=n_steps
     )
-    x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
-    logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]  # (S,1,V)
-    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-
-    # The written column becomes visible for the NEXT step (active slots).
-    new_valid = jnp.where(
-        active[:, None], st.valid.at[slot_ids, st.offsets].set(True), st.valid
-    )
-    new_offsets = jnp.where(active, st.offsets + 1, st.offsets)
-    new_tokens = jnp.where(active, nxt, st.tokens)
-    return nxt, SlotState(
-        kv_k=kv_k, kv_v=kv_v, offsets=new_offsets, pads=st.pads,
-        valid=new_valid, cos=st.cos, sin=st.sin, tokens=new_tokens,
+    return toks, SlotState(
+        kv_k=kv_k, kv_v=kv_v, offsets=off_f, pads=st.pads, valid=valid_f,
+        cos=st.cos, sin=st.sin, tokens=tok_f,
     )
 
 
@@ -264,7 +279,7 @@ class BatchEngine:
         self.requests: Dict[int, _Request] = {}
         self.by_slot: Dict[int, _Request] = {}
         self._next_rid = 0
-        self._step_fn = None
+        self._step_fns: Dict[int, object] = {}
         self._adopt_fns = {}
 
     def _init_state(self):
@@ -325,39 +340,55 @@ class BatchEngine:
     def pending(self) -> bool:
         return bool(self.by_slot)
 
-    def step(self) -> Dict[int, int]:
-        """One decode step for all active slots; returns {rid: token}."""
+    def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
+        """``n_steps`` decode steps (one dispatch) for all active slots.
+
+        Returns {rid: [tokens...]} (EOS/max_tokens-trimmed).  Requests join
+        and complete at chunk boundaries; a slot finishing mid-chunk wastes
+        the chunk remainder only.
+        """
         if not self.by_slot:
             return {}
-        if self._step_fn is None:
+        if n_steps not in self._step_fns:
             cfg = self.lm.cfg
 
-            def f(params, tree, active):
-                nxt, st = _decode_step(params, cfg, SlotState.from_tree(tree), active)
-                return nxt, st.tree()
+            def f(params, tree, active, _n=n_steps):
+                toks, st = _decode_chunk(
+                    params, cfg, SlotState.from_tree(tree), active, _n
+                )
+                return toks, st.tree()
 
-            self._step_fn = jax.jit(f, donate_argnums=(1,))
+            self._step_fns[n_steps] = jax.jit(f, donate_argnums=(1,))
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
-        nxt, tree = self._step_fn(self.lm.params, self.state.tree(), jnp.asarray(active))
+        toks, tree = self._step_fns[n_steps](
+            self.lm.params, self.state.tree(), jnp.asarray(active)
+        )
         self.state = SlotState.from_tree(tree)
-        toks = jax.device_get(nxt)
-        out = {}
+        toks = jax.device_get(toks)  # (n_steps, S)
+        out: Dict[int, List[int]] = {}
         for slot, req in list(self.by_slot.items()):
-            tok = int(toks[slot])
-            req.tokens.append(tok)
-            out[req.rid] = tok
-            hit_window = req.l_pad + len(req.tokens) >= self.window - 1
-            if (
-                tok == self.lm.eos_id
-                or len(req.tokens) >= req.max_tokens
-                or hit_window
-            ):
-                req.done = True
-                del self.by_slot[slot]
-                self.free.append(slot)
+            emitted = out.setdefault(req.rid, [])
+            for i in range(n_steps):
+                tok = int(toks[i, slot])
+                req.tokens.append(tok)
+                emitted.append(tok)
+                hit_window = req.l_pad + len(req.tokens) >= self.window - 1
+                if (
+                    tok == self.lm.eos_id
+                    or len(req.tokens) >= req.max_tokens
+                    or hit_window
+                ):
+                    req.done = True
+                    del self.by_slot[slot]
+                    self.free.append(slot)
+                    self._on_slot_freed(slot)
+                    break
         return out
+
+    def _on_slot_freed(self, slot: int) -> None:
+        """Hook for subclasses (page accounting)."""
 
     # -- results ------------------------------------------------------------
 

@@ -109,139 +109,156 @@ def _use_paged_kernel() -> bool:
         return False
 
 
-def _paged_decode_step(params, cfg: ModelConfig, st: PagedState, active,
-                       page: int):
-    """One greedy step for all slots over the paged pool."""
+def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
+                        page: int, n_steps: int):
+    """``n_steps`` greedy steps for all slots over the paged pool, one
+    dispatch.  The host pre-allocates every page the chunk can touch
+    (PagedBatchEngine.step), so in-chunk page crossings are just table
+    lookups.  Returns (tokens (n_steps, S), new state)."""
     mdl = params["model"]
     s, w = st.valid.shape
     mp = w // page
     pool_pages = st.pool_k.shape[1]
     light, heavy = phi3._partition_heavy(mdl["layers"])
-    x = embedding(mdl["embed_tokens"], st.tokens[:, None]).astype(
-        jnp.dtype(cfg.dtype)
-    )
-
-    idx = (st.offsets - st.pads)[:, None, None]
-    cos = jnp.take_along_axis(st.cos, jnp.broadcast_to(idx, (s, 1, st.cos.shape[-1])), 1)
-    sin = jnp.take_along_axis(st.sin, jnp.broadcast_to(idx, (s, 1, st.sin.shape[-1])), 1)
-
     key_pos = jnp.arange(w)
     slot_ids = jnp.arange(s)
-    fresh = key_pos[None, :] == st.offsets[:, None]
-    allowed = ((key_pos[None, :] <= st.offsets[:, None]) & st.valid) | fresh
-    allowed = allowed[:, None, None, :]
-
-    # This step's write target per slot: page id via the table, column in page.
-    write_page_idx = st.offsets // page  # (S,)
-    write_pid = jnp.take_along_axis(st.page_tables, write_page_idx[:, None], 1)[:, 0]
-    write_pid = jnp.where(active, write_pid, pool_pages)  # sentinel -> dropped
-    write_col = st.offsets % page
-    # clamp gather ids (sentinel P is out of range; those reads are masked)
+    scale = cfg.head_dim**-0.5
+    quantized = cfg.use_quantized_cache
+    # gather ids fixed for the whole chunk (pages pre-allocated by the host)
     gather_pt = jnp.minimum(st.page_tables, pool_pages - 1)  # (S, mp)
 
-    scale = cfg.head_dim**-0.5
+    def one_step(carry, _):
+        tok, offsets, valid, pk, pv = carry
+        x = embedding(mdl["embed_tokens"], tok[:, None]).astype(
+            jnp.dtype(cfg.dtype)
+        )
+        idx = (offsets - st.pads)[:, None, None]
+        cos = jnp.take_along_axis(
+            st.cos, jnp.broadcast_to(idx, (s, 1, st.cos.shape[-1])), 1
+        )
+        sin = jnp.take_along_axis(
+            st.sin, jnp.broadcast_to(idx, (s, 1, st.sin.shape[-1])), 1
+        )
+        fresh = key_pos[None, :] == offsets[:, None]
+        allowed = ((key_pos[None, :] <= offsets[:, None]) & valid) | fresh
+        allowed = allowed[:, None, None, :]
 
-    quantized = cfg.use_quantized_cache
+        write_page_idx = offsets // page  # (S,)
+        write_pid = jnp.take_along_axis(
+            st.page_tables, jnp.minimum(write_page_idx, mp - 1)[:, None], 1
+        )[:, 0]
+        write_pid = jnp.where(active, write_pid, pool_pages)  # sentinel drop
+        write_col = offsets % page
 
-    def body(carry, xs):
-        y, pk, pv = carry
-        lp, li = xs
-        h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
-        q, k, v = phi3._qkv_split(cfg, qkv)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
-        if quantized:
-            from ..engine.state import quantize_chunk
+        def body(carry, xs):
+            y, pk, pv = carry
+            lp, li = xs
+            h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+            qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
+            q, k, v = phi3._qkv_split(cfg, qkv)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+            if quantized:
+                from ..engine.state import quantize_chunk
 
-            entries = quantize_chunk(k, v, cfg.kv_quant, True)
-            pk = pk.at[li, write_pid, :, :, write_col].set(
-                entries.k[..., 0], mode="drop"
-            )
-            pv = pv.at[li, write_pid, :, :, write_col].set(
-                entries.k_scales[..., 0].astype(pv.dtype), mode="drop"
-            )
-        else:
-            pk = pk.at[li, write_pid, :, write_col].set(
-                k[:, :, 0, :].astype(pk.dtype), mode="drop"
-            )
-            pv = pv.at[li, write_pid, :, write_col].set(
-                v[:, :, 0, :].astype(pv.dtype), mode="drop"
-            )
-        layer_k = lax.dynamic_index_in_dim(pk, li, 0, keepdims=False)  # (P,KV,pg,D)
-        layer_v = lax.dynamic_index_in_dim(pv, li, 0, keepdims=False)
-        if quantized and _use_paged_kernel() and cfg.kv_quant.bits == 4:
-            from ..ops.kernels.kv_attention import (
-                d_perm,
-                d_unperm,
-                paged_quantized_kv_attention,
-            )
+                entries = quantize_chunk(k, v, cfg.kv_quant, True)
+                pk = pk.at[li, write_pid, :, :, write_col].set(
+                    entries.k[..., 0], mode="drop"
+                )
+                pv = pv.at[li, write_pid, :, :, write_col].set(
+                    entries.k_scales[..., 0].astype(pv.dtype), mode="drop"
+                )
+            else:
+                pk = pk.at[li, write_pid, :, write_col].set(
+                    k[:, :, 0, :].astype(pk.dtype), mode="drop"
+                )
+                pv = pv.at[li, write_pid, :, write_col].set(
+                    v[:, :, 0, :].astype(pv.dtype), mode="drop"
+                )
+            layer_k = lax.dynamic_index_in_dim(pk, li, 0, keepdims=False)
+            layer_v = lax.dynamic_index_in_dim(pv, li, 0, keepdims=False)
+            if quantized and _use_paged_kernel() and cfg.kv_quant.bits == 4:
+                from ..ops.kernels.kv_attention import (
+                    d_perm,
+                    d_unperm,
+                    paged_quantized_kv_attention,
+                )
 
-            groups = layer_v.shape[2] // 4
-            perm = d_perm(q.shape[-1], groups)
-            o_p = paged_quantized_kv_attention(
-                q[..., perm], layer_k, layer_v, st.page_tables, st.valid,
-                st.offsets, scale=scale,
-            )
-            o = o_p[..., d_unperm(q.shape[-1], groups)].astype(y.dtype)
-        elif quantized:
-            from ..engine.state import LayerKV, read_kv
+                groups = layer_v.shape[2] // 4
+                perm = d_perm(q.shape[-1], groups)
+                o_p = paged_quantized_kv_attention(
+                    q[..., perm], layer_k, layer_v, st.page_tables, valid,
+                    offsets, scale=scale,
+                )
+                o = o_p[..., d_unperm(q.shape[-1], groups)].astype(y.dtype)
+            elif quantized:
+                from ..engine.state import LayerKV, read_kv
 
-            # gather pages -> the transposed quantized window (rows, W)
-            kq = layer_k[gather_pt]  # (S, mp, KV, rows, pg)
-            sq = layer_v[gather_pt]
-            kq = kq.transpose(0, 2, 3, 1, 4).reshape(
-                s, kq.shape[2], kq.shape[3], mp * page
-            )
-            sq = sq.transpose(0, 2, 3, 1, 4).reshape(
-                s, sq.shape[2], sq.shape[3], mp * page
-            )
-            kc, vc = read_kv(
-                LayerKV(k=kq, k_scales=sq), y.dtype, cfg.kv_quant.bits
-            )
-            o = masked_attention(q, kc, vc, allowed, scale)
-        elif _use_paged_kernel():
-            # Pallas path: the page table drives the BlockSpec index map, so
-            # each grid step DMAs exactly one page — no gathered window copy.
-            from ..ops.kernels.kv_attention import paged_kv_attention
+                kq = layer_k[gather_pt]  # (S, mp, KV, rows, pg)
+                sq = layer_v[gather_pt]
+                kq = kq.transpose(0, 2, 3, 1, 4).reshape(
+                    s, kq.shape[2], kq.shape[3], mp * page
+                )
+                sq = sq.transpose(0, 2, 3, 1, 4).reshape(
+                    s, sq.shape[2], sq.shape[3], mp * page
+                )
+                kc, vc = read_kv(
+                    LayerKV(k=kq, k_scales=sq), y.dtype, cfg.kv_quant.bits
+                )
+                o = masked_attention(q, kc, vc, allowed, scale)
+            elif _use_paged_kernel():
+                from ..ops.kernels.kv_attention import paged_kv_attention
 
-            o = paged_kv_attention(
-                q, layer_k, layer_v, st.page_tables, st.valid, st.offsets,
-                scale=scale,
+                o = paged_kv_attention(
+                    q, layer_k, layer_v, st.page_tables, valid, offsets,
+                    scale=scale,
+                ).astype(y.dtype)
+            else:
+                kc = layer_k[gather_pt]  # (S, mp, KV, pg, D)
+                vc = layer_v[gather_pt]
+                kc = kc.transpose(0, 2, 1, 3, 4).reshape(
+                    s, kc.shape[2], mp * page, -1
+                )
+                vc = vc.transpose(0, 2, 1, 3, 4).reshape(
+                    s, vc.shape[2], mp * page, -1
+                )
+                o = masked_attention(
+                    q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale
+                )
+            o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
+            y = y + phi3._dense_at(
+                lp, heavy, ("self_attn", "o_proj"), o, li
             ).astype(y.dtype)
-        else:
-            # XLA path: gather each slot's pages -> logical (KV, W, D) view
-            kc = layer_k[gather_pt]  # (S, mp, KV, pg, D)
-            vc = layer_v[gather_pt]
-            kc = kc.transpose(0, 2, 1, 3, 4).reshape(s, kc.shape[2], mp * page, -1)
-            vc = vc.transpose(0, 2, 1, 3, 4).reshape(s, vc.shape[2], mp * page, -1)
-            o = masked_attention(
-                q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale
-            )
-        o = o.transpose(0, 2, 1, 3).reshape(s, 1, -1)
-        y = y + phi3._dense_at(lp, heavy, ("self_attn", "o_proj"), o, li).astype(y.dtype)
-        hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-        gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-        y = y + phi3._dense_at(lp, heavy, ("mlp", "down_proj"), ff, li).astype(y.dtype)
-        return (y, pk, pv), None
+            hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+            gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            y = y + phi3._dense_at(
+                lp, heavy, ("mlp", "down_proj"), ff, li
+            ).astype(y.dtype)
+            return (y, pk, pv), None
 
-    (x, pool_k, pool_v), _ = lax.scan(
-        body, (x, st.pool_k, st.pool_v), (light, jnp.arange(cfg.num_hidden_layers))
-    )
-    x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
-    logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
-    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        (x, pk, pv), _ = lax.scan(
+            body, (x, pk, pv), (light, jnp.arange(cfg.num_hidden_layers))
+        )
+        x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+        logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
-    new_valid = jnp.where(
-        active[:, None], st.valid.at[slot_ids, st.offsets].set(True), st.valid
+        new_valid = jnp.where(
+            active[:, None], valid.at[slot_ids, offsets].set(True), valid
+        )
+        new_offsets = jnp.where(active, offsets + 1, offsets)
+        new_tok = jnp.where(active, nxt, tok)
+        return (new_tok, new_offsets, new_valid, pk, pv), nxt
+
+    carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v)
+    (tok_f, off_f, valid_f, pk, pv), toks = lax.scan(
+        one_step, carry0, None, length=n_steps
     )
-    return nxt, PagedState(
-        pool_k=pool_k, pool_v=pool_v, page_tables=st.page_tables,
-        offsets=jnp.where(active, st.offsets + 1, st.offsets),
-        pads=st.pads, valid=new_valid, cos=st.cos, sin=st.sin,
-        tokens=jnp.where(active, nxt, st.tokens),
+    return toks, PagedState(
+        pool_k=pk, pool_v=pv, page_tables=st.page_tables, offsets=off_f,
+        pads=st.pads, valid=valid_f, cos=st.cos, sin=st.sin, tokens=tok_f,
     )
 
 
@@ -404,52 +421,61 @@ class PagedBatchEngine(BatchEngine):
 
     # -- decode -------------------------------------------------------------
 
-    def step(self) -> Dict[int, int]:
+    def _on_slot_freed(self, slot: int) -> None:
+        self._release_slot(slot)
+
+    def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
         if not self.by_slot:
             return {}
         page = self.page_size
-        # Pre-step page allocation: any slot writing into a fresh page this
-        # step gets one from the pool (host-driven, one tiny device update).
+        # Pre-allocate every page this chunk can touch, per active slot.
         for slot, req in self.by_slot.items():
-            write_col = req.l_pad + len(req.tokens) - 1
-            needed = write_col // page + 1
+            start = req.l_pad + len(req.tokens) - 1
+            last = min(start + n_steps - 1, self.window - 1)
+            needed = last // page + 1
             have = len(self._slot_pages[slot])
-            if needed > have:
+            while needed > have:
                 (pid,) = self._alloc_pages(1)
                 self._slot_pages[slot].append(pid)
                 self.state.page_tables = self.state.page_tables.at[
-                    slot, needed - 1
+                    slot, have
                 ].set(pid)
+                have += 1
 
-        if self._step_fn is None:
+        if n_steps not in self._step_fns:
             cfg = self.lm.cfg
 
-            def f(params, tree, active):
-                nxt, st = _paged_decode_step(
-                    params, cfg, PagedState.from_tree(tree), active, page
+            def f(params, tree, active, _n=n_steps):
+                toks, st = _paged_decode_chunk(
+                    params, cfg, PagedState.from_tree(tree), active, page, _n
                 )
-                return nxt, st.tree()
+                return toks, st.tree()
 
-            self._step_fn = jax.jit(f, donate_argnums=(1,))
+            self._step_fns[n_steps] = jax.jit(f, donate_argnums=(1,))
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
-        nxt, tree = self._step_fn(self.lm.params, self.state.tree(), jnp.asarray(active))
+        toks, tree = self._step_fns[n_steps](
+            self.lm.params, self.state.tree(), jnp.asarray(active)
+        )
         self.state = PagedState.from_tree(tree)
-        toks = jax.device_get(nxt)
-        out = {}
+        toks = jax.device_get(toks)
+        out: Dict[int, List[int]] = {}
         for slot, req in list(self.by_slot.items()):
-            tok = int(toks[slot])
-            req.tokens.append(tok)
-            out[req.rid] = tok
-            hit_window = req.l_pad + len(req.tokens) >= self.window - 1
-            if (
-                tok == self.lm.eos_id
-                or len(req.tokens) >= req.max_tokens
-                or hit_window
-            ):
-                req.done = True
-                del self.by_slot[slot]
-                self._release_slot(slot)
-                self.free.append(slot)
+            emitted = out.setdefault(req.rid, [])
+            for i in range(n_steps):
+                tok = int(toks[i, slot])
+                req.tokens.append(tok)
+                emitted.append(tok)
+                hit_window = req.l_pad + len(req.tokens) >= self.window - 1
+                if (
+                    tok == self.lm.eos_id
+                    or len(req.tokens) >= req.max_tokens
+                    or hit_window
+                ):
+                    req.done = True
+                    del self.by_slot[slot]
+                    self.free.append(slot)
+                    self._on_slot_freed(slot)
+                    break
         return out

@@ -98,12 +98,15 @@ class ContinuousScheduler:
             return self.engine.result(rid)
 
     def _pump(self):
+        import os
+
+        chunk = int(os.environ.get("PHI3V_TPU_SLOT_CHUNK", "8"))
         while True:
             with self._cv:
                 while not self.engine.pending():
                     self._cv.wait()
                 before = set(self.engine.by_slot)
-                self.engine.step()
+                self.engine.step(chunk)
                 if before - set(self.engine.by_slot):  # someone finished
                     self._cv.notify_all()
 

@@ -182,3 +182,31 @@ def test_paged_engine_quantized_cache(lmproc):
     assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 12)
     assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 12)
     assert len(eng._free_pages) == 6
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_chunked_steps_match_single_steps(lmproc, paged):
+    """step(n) must emit exactly the tokens n x step(1) would, for both
+    engines, including a request finishing mid-chunk."""
+    if paged:
+        from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine as Eng
+
+        kw = dict(page_size=32, pool_pages=8)
+    else:
+        Eng = BatchEngine
+        kw = {}
+    lm, proc = lmproc
+    pa, pb = "Chunked decode A.", "Chunked decode B?"
+
+    eng1 = Eng(lm, proc, slots=2, window=128, **kw)
+    ra1, rb1 = eng1.submit(pa, max_tokens=11), eng1.submit(pb, max_tokens=17)
+    while eng1.pending():
+        eng1.step(1)
+
+    eng8 = Eng(lm, proc, slots=2, window=128, **kw)
+    ra8, rb8 = eng8.submit(pa, max_tokens=11), eng8.submit(pb, max_tokens=17)
+    while eng8.pending():
+        eng8.step(8)  # 11 and 17 both finish mid-chunk
+
+    assert eng8.tokens(ra8) == eng1.tokens(ra1)
+    assert eng8.tokens(rb8) == eng1.tokens(rb1)
