@@ -9,6 +9,7 @@ Workloads (BASELINE.md configs + ROADMAP long-context targets):
   prefill32k- 32K-token prefill throughput (chunked prefill + flash kernel)
   vqa       - single-image VQA prefill latency
   chat      - interactive profile: first-token latency, adaptive chunk ramp
+  serve     - continuous-batching aggregate throughput (staggered requests)
   quant64k  - (full-chip HBM only; not in the default run)
 
 Run all: ``python bench_extra.py``; subset: ``python bench_extra.py quant8k``.
