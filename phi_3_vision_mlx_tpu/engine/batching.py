@@ -24,7 +24,7 @@ int4/int8-quantized cache (engine/state.py layouts).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ from ..ops.attention import masked_attention
 from ..ops.linear import dense, embedding
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rotary, su_rope_tables
-from .batching import BatchEngine, SlotState, _Request
+from .batching import BatchEngine, _Request
 
 
 class PagedState:
