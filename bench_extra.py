@@ -2,7 +2,7 @@
 
 Workloads (BASELINE.md configs + ROADMAP long-context targets):
   single    - 4-bit single-stream decode (the driver metric, for context)
-  batch11   - 11-prompt batched decode, aggregate tok/s
+  batch15   - reference benchmark() batch prompt list (15 prompts), aggregate tok/s
   dense8k   - dense-cache decode in an 8K window
   quant8k   - int4 group-32 quantized-KV decode in an 8K window
   quant32k  - quantized-KV decode in a 32K window (BASELINE config 5)
@@ -23,7 +23,10 @@ import time
 
 os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK", "256")
 os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK_MIN", "256")
-os.environ.setdefault("BENCH_QUANT_MODE", "symmetric")
+# Match the driver metric's default (bench.py runs affine); symmetric runs
+# (BENCH_QUANT_MODE=symmetric) are recorded distinctly via the quant_mode
+# field below, so the two modes never conflate under one metric key.
+os.environ.setdefault("BENCH_QUANT_MODE", "affine")
 
 import jax
 import jax.numpy as jnp
@@ -74,11 +77,16 @@ def single():
             "unit": "tok/s", "reference": 61.01, "ratio": round(tps / 61.01, 2)}
 
 
-def batch11():
+def batch15():
+    """The reference's own batch workload: its benchmark() prompt list (16
+    literals, 15 prompts after the missing-comma concatenation —
+    phi_3_vision_mlx.py:1227-1248, reproduced in bench.BENCH_PROMPTS)."""
+    from phi_3_vision_mlx_tpu.bench import BENCH_PROMPTS
     from phi_3_vision_mlx_tpu.engine.engine import generate_text
 
     lm, proc = _lm()
-    prompts = [f"Prompt number {i}: write a short story about topic {i}." for i in range(11)]
+    prompts = list(BENCH_PROMPTS[2][0])
+    assert len(prompts) == 15, len(prompts)
     best = 0.0
     for _ in range(3):
         _, tps = generate_text(
@@ -86,10 +94,11 @@ def batch11():
             stream=False, mute=True, return_tps=True,
         )
         best = max(best, tps)
-    return {"metric": "batched11_decode_tps_int4", "value": round(best, 2),
+    return {"metric": "batched15_decode_tps_int4", "value": round(best, 2),
             "unit": "tok/s aggregate", "reference_q_model": 149.23,
             "ratio_vs_q": round(best / 149.23, 2), "reference_best": 236.6,
-            "ratio_vs_best": round(best / 236.6, 2)}
+            "ratio_vs_best": round(best / 236.6, 2),
+            "note": "reference benchmark() batch prompt list (15 prompts)"}
 
 
 def _window_tps(window: int, quantize_cache: bool, max_tokens: int = 384):
@@ -274,7 +283,7 @@ def chat():
 
 
 ALL = {
-    "single": single, "batch11": batch11, "dense8k": dense8k,
+    "single": single, "batch15": batch15, "dense8k": dense8k,
     "quant8k": quant8k, "quant32k": quant32k,
     "prefill32k": prefill32k, "vqa": vqa, "chat": chat, "serve": serve,
 }
@@ -289,11 +298,13 @@ def main():
            "measurements": []}
     if os.path.exists(path):
         doc = json.load(open(path))
-    by_metric = {m["metric"]: m for m in doc["measurements"]}
+    key = lambda m: (m["metric"], m.get("quant_mode", "affine"))
+    by_metric = {key(m): m for m in doc["measurements"]}
     for name in names:
         res = ALL_RUNNABLE[name]()
+        res["quant_mode"] = os.environ["BENCH_QUANT_MODE"]
         print(json.dumps(res))
-        by_metric[res["metric"]] = res
+        by_metric[key(res)] = res
         doc["measurements"] = list(by_metric.values())
         with open(path, "w") as f:  # write after every workload: a later
             json.dump(doc, f, indent=2)  # crash must not drop earlier results

@@ -33,8 +33,15 @@ BENCH_PROMPTS = [
             "Summarize the major events of the French Revolution.",
             "Describe the water cycle.",
             "Write a Neurology ICU Admission Note.",
+            # The reference list's two adjacent literals concatenate (missing
+            # comma, phi_3_vision_mlx.py:1238-1239) — kept verbatim so the
+            # batch workload is 15 prompts from 16 literals, same as theirs.
             "Describe a bustling alien marketplace on a distant planet with unique goods and creatures."
             "Imagine you have a magic potion that grants one wish. What would you wish for and how would it change your life?",
+            "Compose a limerick about a clumsy robot.",
+            "Write a JavaScript function to sort an array of objects by a specific property.",
+            "Design a database schema for a social media platform, considering user profiles, posts, and interactions.",
+            "Implement a basic encryption algorithm in Python.",
         ],
         None,
     ),

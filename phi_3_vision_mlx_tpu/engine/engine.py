@@ -81,6 +81,26 @@ def sample_token(logits, key, temperature: float, top_p: float):
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_token_rows(logits, key, temps, top_ps):
+    """Per-row temperature + top-p sampling for the slot engines.
+
+    Unlike :func:`sample_token` (static scalar knobs), ``temps``/``top_ps``
+    are device ``(B,)`` vectors so one compiled step serves any mix of
+    requests; rows with ``temps <= 0`` decode greedily (exact argmax, not a
+    low-temperature approximation).
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.sum(cum - probs < top_ps[:, None], axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_desc, jnp.maximum(keep - 1, 0), axis=-1)
+    filtered = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
 class LM:
     """A loaded model: config + params + a cache of compiled step functions.
 
@@ -426,11 +446,8 @@ def run_prefill(lm: LM, dict_input: dict, max_tokens: int, inputs_embeds=None):
         )
         return logits, state, l_pad, window
 
-    # Chunked prefill: first chunk allocates the window, the rest extend it.
-    # (Flash-attention Pallas kernel will lift the per-chunk score cost.)
-    first = PREFILL_CHUNK
-    fn = lm.prefill_fn(b, first, window)
-    # Window must cover the full prompt: recreate state with full pids/valid.
+    # Chunked prefill: allocate the full window up front, then feed the
+    # prompt through extend_fn chunk by chunk.
     from ..engine.state import init_state
 
     state = init_state(

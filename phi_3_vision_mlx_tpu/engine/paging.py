@@ -267,9 +267,13 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
     """Scatter a prefilled request's cache columns into its allocated pages
     and install the slot's page-table row.
 
-    page_ids: (max_pages,) int32 — l_pad//page real ids then sentinel fill.
+    page_ids: (max_pages,) int32 — ceil(l_pad/page) real ids then sentinel
+    fill.  When ``page`` does not divide ``l_pad`` (page_size > the 64-token
+    prompt bucket), the trailing partial page's unused columns are written as
+    zeros — harmless, the validity bits mask them.
     """
-    n_full = l_pad // page
+    n_pages = -(-l_pad // page)
+    l_full = n_pages * page
     if cfg.use_quantized_cache:
         # transposed quantized layout: (nl, KV, rows, W) -> per-page slices
         k_cols = src_state.kv.k[:, 0, :, :, :l_pad]
@@ -278,30 +282,34 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
 
         def pages_of(cols):
             r = cols.shape[2]
-            return cols.reshape(nl, kvh, r, n_full, page).transpose(0, 3, 1, 2, 4)
+            if l_full > l_pad:
+                cols = jnp.pad(cols, ((0, 0),) * 3 + ((0, l_full - l_pad),))
+            return cols.reshape(nl, kvh, r, n_pages, page).transpose(0, 3, 1, 2, 4)
 
-        pool_k = st.pool_k.at[:, page_ids[:n_full]].set(
+        pool_k = st.pool_k.at[:, page_ids[:n_pages]].set(
             pages_of(k_cols).astype(st.pool_k.dtype)
         )
-        pool_v = st.pool_v.at[:, page_ids[:n_full]].set(
+        pool_v = st.pool_v.at[:, page_ids[:n_pages]].set(
             pages_of(s_cols).astype(st.pool_v.dtype)
         )
     else:
-        # (nl, KV, l_pad, D) -> (nl, n_full, KV, page, D)
+        # (nl, KV, l_pad, D) -> (nl, n_pages, KV, page, D)
         k_cols = src_state.kv.k[:, 0, :, :l_pad]
         v_cols = src_state.kv.v[:, 0, :, :l_pad]
         nl, kvh, _, d = k_cols.shape
 
         def pages_of(cols):
+            if l_full > l_pad:
+                cols = jnp.pad(cols, ((0, 0), (0, 0), (0, l_full - l_pad), (0, 0)))
             return (
-                cols.reshape(nl, kvh, n_full, page, d)
+                cols.reshape(nl, kvh, n_pages, page, d)
                 .transpose(0, 2, 1, 3, 4)
             )
 
-        pool_k = st.pool_k.at[:, page_ids[:n_full]].set(
+        pool_k = st.pool_k.at[:, page_ids[:n_pages]].set(
             pages_of(k_cols).astype(st.pool_k.dtype)
         )
-        pool_v = st.pool_v.at[:, page_ids[:n_full]].set(
+        pool_v = st.pool_v.at[:, page_ids[:n_pages]].set(
             pages_of(v_cols).astype(st.pool_v.dtype)
         )
     page_tables = st.page_tables.at[slot].set(page_ids)
@@ -381,7 +389,7 @@ class PagedBatchEngine(BatchEngine):
         page = self.page_size
         mp = self.window // page
         try:
-            ids = self._alloc_pages(l_pad // page)
+            ids = self._alloc_pages(-(-l_pad // page))
         except RuntimeError:
             self.free.append(slot)
             raise

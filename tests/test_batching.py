@@ -152,6 +152,23 @@ def test_paged_engine_matches_single_stream(lmproc):
     assert len(eng._free_pages) == eng.pool_pages
 
 
+def test_paged_partial_page_adoption(lmproc):
+    """page_size larger than the 64-token prompt bucket: adoption allocates
+    ceil(l_pad/page) pages, zero-fills the trailing partial page (l_pad=64,
+    page=128), and decode continues into it token-exactly."""
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    eng = PagedBatchEngine(lm, proc, slots=2, window=256, page_size=128,
+                           pool_pages=4)
+    pa = "Partial page prompt."
+    ra = eng.submit(pa, max_tokens=12)
+    while eng.pending():
+        eng.step()
+    assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 12, window=256)
+    assert len(eng._free_pages) == 4
+
+
 def test_paged_pool_exhaustion_raises(lmproc):
     from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
 
