@@ -92,14 +92,20 @@ def _init_slots(cfg: ModelConfig, slots: int, window: int, dtype):
 
 
 def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
-                  n_steps: int):
-    """``n_steps`` greedy decode steps for every slot in ONE dispatch.
+                  n_steps: int, temps=None, top_ps=None, key=None,
+                  eos_id: int = 0):
+    """``n_steps`` decode steps for every slot in ONE dispatch.
 
     Chunking amortizes dispatch latency (through the remote tunnel a single
     step costs ~30 ms of dispatch alone); requests join/leave only at chunk
     boundaries, and a slot that finishes mid-chunk wastes at most the rest of
     the chunk (host trims; adoption resets the slot).  active: (S,) bool.
-    Returns (tokens (n_steps, S), new state).
+
+    ``temps``/``top_ps``: optional device (S,) vectors — per-slot sampling
+    (rows with temp <= 0 stay exact-greedy); None compiles the pure-greedy
+    step with no sort.  Returns (tokens (n_steps, S), maxlp (n_steps, S),
+    eoslp (n_steps, S), new state) — the per-step log-prob stats feed the
+    host-side LogitStopper exactly as the single-stream engine's chunk_fn.
     """
     mdl = params["model"]
     s, w = st.valid.shape
@@ -109,7 +115,7 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     scale = cfg.head_dim**-0.5
     quantized = cfg.use_quantized_cache
 
-    def one_step(carry, _):
+    def one_step(carry, step_i):
         tok, offsets, valid, kv_k, kv_v = carry
         x = embedding(mdl["embed_tokens"], tok[:, None]).astype(
             jnp.dtype(cfg.dtype)
@@ -185,20 +191,30 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
         )
         x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
         logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        lg = logits[:, -1, :].astype(jnp.float32)
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        if temps is None:
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        else:
+            from .engine import sample_token_rows
+
+            nxt = sample_token_rows(
+                lg, jax.random.fold_in(key, step_i), temps, top_ps
+            )
 
         new_valid = jnp.where(
             active[:, None], valid.at[slot_ids, offsets].set(True), valid
         )
         new_offsets = jnp.where(active, offsets + 1, offsets)
         new_tok = jnp.where(active, nxt, tok)
-        return (new_tok, new_offsets, new_valid, kv_k, kv_v), nxt
+        stats = (nxt, lp.max(axis=-1), lp[:, eos_id])
+        return (new_tok, new_offsets, new_valid, kv_k, kv_v), stats
 
     carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v)
-    (tok_f, off_f, valid_f, kv_k, kv_v), toks = lax.scan(
-        one_step, carry0, None, length=n_steps
+    (tok_f, off_f, valid_f, kv_k, kv_v), (toks, maxlp, eoslp) = lax.scan(
+        one_step, carry0, jnp.arange(n_steps)
     )
-    return toks, SlotState(
+    return toks, maxlp, eoslp, SlotState(
         kv_k=kv_k, kv_v=kv_v, offsets=off_f, pads=st.pads, valid=valid_f,
         cos=st.cos, sin=st.sin, tokens=tok_f,
     )
@@ -251,6 +267,37 @@ class _Request:
     done: bool = False
     max_tokens: int = 512
     l_pad: int = 0
+    temperature: float = 0.0
+    top_p: float = 1.0
+    error: str = ""
+    prompt_ids: List[int] = field(default_factory=list)  # preemption resume
+    stopper: object = None  # per-request LogitStopper (early_stop)
+    # tokens already counted inside l_pad at (re-)admission: 1 for a fresh
+    # request (only the prefill token is pending), len(tokens) after a
+    # preemption resume (the resumed prefill re-absorbed the earlier ones).
+    adopted_at: int = 1
+
+
+@dataclass
+class _Prepared:
+    """A prefilled-but-not-admitted request.
+
+    :meth:`BatchEngine.prepare` produces one WITHOUT touching engine state —
+    safe to run concurrently with the decode pump (the scheduler prefills
+    outside its condition lock); :meth:`BatchEngine.admit` then adopts it
+    into a free slot under the lock.
+    """
+
+    src_state: object
+    first: int
+    l_pad: int
+    n_pads: int
+    prompt_ids: List[int]
+    max_tokens: int
+    temperature: float = 0.0
+    top_p: float = 1.0
+    early_stop: object = False
+    rid: int = -1  # set on resume re-prefills to keep the original rid
 
 
 class BatchEngine:
@@ -265,7 +312,8 @@ class BatchEngine:
         text = eng.result(rid)
     """
 
-    def __init__(self, lm, processor, slots: int = 4, window: int = 1024):
+    def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
+                 seed: int = 0):
         from .engine import LM  # noqa: F401  (type only)
 
         self.lm = lm
@@ -279,8 +327,10 @@ class BatchEngine:
         self.requests: Dict[int, _Request] = {}
         self.by_slot: Dict[int, _Request] = {}
         self._next_rid = 0
-        self._step_fns: Dict[int, object] = {}
+        self._step_fns: Dict[object, object] = {}
         self._adopt_fns = {}
+        self._base_key = jax.random.PRNGKey(seed)
+        self._chunk_i = 0
 
     def _init_state(self):
         return _init_slots(
@@ -289,18 +339,26 @@ class BatchEngine:
 
     # -- admission ----------------------------------------------------------
 
-    def submit(self, prompt: str, max_tokens: int = 512) -> int:
+    def prepare(self, prompt: str, max_tokens: int = 512,
+                temperature: float = 0.0, top_p: float = 1.0,
+                early_stop=False) -> _Prepared:
+        """Tokenize + prefill a request WITHOUT touching engine state.
+
+        Long prompts chunk-prefill inside run_prefill; nothing here races
+        decode, so a scheduler can run this outside its lock while the pump
+        keeps stepping active slots.
+        """
         from .engine import round_up, run_prefill
 
-        if not self.free:
-            raise RuntimeError("no free slots; call step() until one frees")
-        slot = self.free.pop()
         dict_input = self.processor(prompt)
-        l = int(np.asarray(dict_input["input_ids"]).shape[1])
+        ids = np.asarray(dict_input["input_ids"])
+        l = int(ids.shape[1])
         l_guess = max(round_up(l, 64), 64)
         if l_guess >= self.window:
-            self.free.append(slot)
-            raise ValueError(f"prompt ({l_guess}) does not fit window {self.window}")
+            raise ValueError(
+                f"prompt ({l_guess} tokens bucketed) does not fit window "
+                f"{self.window}"
+            )
         # Pin the prefill window to the serving window: identical su-rope
         # regime + table, and the adopted cache columns line up 1:1.
         logits, src_state, l_pad, src_window = run_prefill(
@@ -308,37 +366,95 @@ class BatchEngine:
         )
         assert src_window == self.window, (src_window, self.window)
         first = int(np.argmax(jax.device_get(logits), axis=-1)[0])
+        return _Prepared(
+            src_state=src_state, first=first, l_pad=l_pad, n_pads=l_pad - l,
+            prompt_ids=[int(t) for t in ids[0]], max_tokens=max_tokens,
+            temperature=temperature, top_p=top_p, early_stop=early_stop,
+        )
 
-        if l_pad not in self._adopt_fns:
+    def can_admit(self, prepared: _Prepared) -> bool:
+        return bool(self.free)
+
+    def _adopt_prepared(self, p: _Prepared, slot: int) -> None:
+        """Device-state adoption only (subclasses add page accounting)."""
+        if p.l_pad not in self._adopt_fns:
             cfg = self.lm.cfg
-            self._adopt_fns[l_pad] = jax.jit(
-                lambda t, slot, src, tok, pads, _l=l_pad: _adopt(
+            self._adopt_fns[p.l_pad] = jax.jit(
+                lambda t, slot, src, tok, pads, _l=p.l_pad: _adopt(
                     cfg, SlotState.from_tree(t), slot, src, tok, _l, pads
                 ).tree()
             )
         self.state = SlotState.from_tree(
-            self._adopt_fns[l_pad](
-                self.state.tree(), jnp.asarray(slot, jnp.int32), src_state,
-                jnp.asarray(first, jnp.int32), jnp.asarray(l_pad - l, jnp.int32),
+            self._adopt_fns[p.l_pad](
+                self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
+                jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
             )
         )
-        rid = self._next_rid
-        self._next_rid += 1
-        req = _Request(
-            rid=rid, slot=slot, tokens=[first], max_tokens=max_tokens, l_pad=l_pad
-        )
-        if first == self.lm.eos_id:
+
+    def admit(self, prepared: _Prepared) -> int:
+        """Adopt a prepared prefill into a free slot (mutates engine state —
+        the scheduler calls this under its lock)."""
+        if not self.free:
+            raise RuntimeError("no free slots; call step() until one frees")
+        p = prepared
+        slot = self.free.pop()
+        try:
+            self._adopt_prepared(p, slot)
+        except Exception:
+            self.free.append(slot)
+            raise
+        if p.rid >= 0:
+            rid = p.rid  # preemption resume keeps the original request
+            req = self.requests[rid]
+            req.slot = slot
+            req.l_pad = p.l_pad
+            # p.first is the request's pending token (tokens[-1]), re-seeded
+            # into the slot by _adopt — not a new emission.
+            req.adopted_at = len(req.tokens)
+        else:
+            rid = self._next_rid
+            self._next_rid += 1
+            req = _Request(
+                rid=rid, slot=slot, tokens=[p.first], max_tokens=p.max_tokens,
+                l_pad=p.l_pad, temperature=p.temperature, top_p=p.top_p,
+                prompt_ids=p.prompt_ids,
+            )
+            if p.early_stop:
+                from .stream import LogitStopper
+
+                req.stopper = LogitStopper(p.max_tokens, p.early_stop)
+            self.requests[rid] = req
+        if p.first == self.lm.eos_id or len(req.tokens) >= req.max_tokens:
             req.done = True
             self.free.append(slot)
+            self._on_slot_freed(slot)
         else:
             self.by_slot[slot] = req
-        self.requests[rid] = req
         return rid
+
+    def submit(self, prompt: str, max_tokens: int = 512,
+               temperature: float = 0.0, top_p: float = 1.0,
+               early_stop=False) -> int:
+        return self.admit(self.prepare(
+            prompt, max_tokens, temperature=temperature, top_p=top_p,
+            early_stop=early_stop,
+        ))
 
     # -- decode -------------------------------------------------------------
 
     def pending(self) -> bool:
         return bool(self.by_slot)
+
+    def _sampling_vectors(self):
+        """(temps, top_ps) device vectors, or None when all-greedy."""
+        if all(r.temperature <= 0 for r in self.by_slot.values()):
+            return None, None
+        temps = np.zeros((self.slots,), np.float32)
+        tops = np.ones((self.slots,), np.float32)
+        for slot, req in self.by_slot.items():
+            temps[slot] = req.temperature
+            tops[slot] = req.top_p
+        return jnp.asarray(temps), jnp.asarray(tops)
 
     def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
         """``n_steps`` decode steps (one dispatch) for all active slots.
@@ -349,24 +465,36 @@ class BatchEngine:
         """
         if not self.by_slot:
             return {}
-        if n_steps not in self._step_fns:
-            cfg = self.lm.cfg
+        temps, tops = self._sampling_vectors()
+        sampling = temps is not None
+        fkey = (n_steps, sampling)
+        if fkey not in self._step_fns:
+            cfg, eos_id = self.lm.cfg, self.lm.eos_id
 
-            def f(params, tree, active, _n=n_steps):
-                toks, st = _decode_chunk(
-                    params, cfg, SlotState.from_tree(tree), active, _n
+            def f(params, tree, active, temps, tops, key, _n=n_steps,
+                  _s=sampling):
+                toks, maxlp, eoslp, st = _decode_chunk(
+                    params, cfg, SlotState.from_tree(tree), active, _n,
+                    temps=temps if _s else None,
+                    top_ps=tops if _s else None, key=key, eos_id=eos_id,
                 )
-                return toks, st.tree()
+                return toks, maxlp, eoslp, st.tree()
 
-            self._step_fns[n_steps] = jax.jit(f, donate_argnums=(1,))
+            self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
-        toks, tree = self._step_fns[n_steps](
-            self.lm.params, self.state.tree(), jnp.asarray(active)
+        self._chunk_i += 1
+        toks, maxlp, eoslp, tree = self._step_fns[fkey](
+            self.lm.params, self.state.tree(), jnp.asarray(active),
+            temps if sampling else jnp.zeros((self.slots,), jnp.float32),
+            tops if sampling else jnp.ones((self.slots,), jnp.float32),
+            jax.random.fold_in(self._base_key, self._chunk_i),
         )
         self.state = SlotState.from_tree(tree)
         toks = jax.device_get(toks)  # (n_steps, S)
+        maxlp = jax.device_get(maxlp)
+        eoslp = jax.device_get(eoslp)
         out: Dict[int, List[int]] = {}
         for slot, req in list(self.by_slot.items()):
             emitted = out.setdefault(req.rid, [])
@@ -374,9 +502,16 @@ class BatchEngine:
                 tok = int(toks[i, slot])
                 req.tokens.append(tok)
                 emitted.append(tok)
-                hit_window = req.l_pad + len(req.tokens) >= self.window - 1
+                hit_window = (
+                    req.l_pad + len(req.tokens) - req.adopted_at + 1
+                    >= self.window - 1
+                )
+                early = req.stopper is not None and req.stopper.update(
+                    float(maxlp[i, slot]), float(eoslp[i, slot]), 1
+                )
                 if (
-                    tok == self.lm.eos_id
+                    early
+                    or tok == self.lm.eos_id
                     or len(req.tokens) >= req.max_tokens
                     or hit_window
                 ):
@@ -390,11 +525,30 @@ class BatchEngine:
     def _on_slot_freed(self, slot: int) -> None:
         """Hook for subclasses (page accounting)."""
 
+    def fail_all_active(self, message: str) -> None:
+        """Fail every in-flight request and reset device state.
+
+        The scheduler pump calls this when ``step`` raises unexpectedly: the
+        error is surfaced on each owning request (``result`` re-raises it)
+        instead of killing the pump thread, and the engine restarts clean.
+        """
+        for slot, req in list(self.by_slot.items()):
+            req.error = message
+            req.done = True
+        self.by_slot.clear()
+        self.free = list(range(self.slots))
+        for slot in range(self.slots):
+            self._on_slot_freed(slot)
+        self.state = self._init_state()
+
     # -- results ------------------------------------------------------------
 
     def tokens(self, rid: int) -> List[int]:
         """Raw generated token ids (EOS-trimmed)."""
-        toks = self.requests[rid].tokens
+        req = self.requests[rid]
+        if req.error:
+            raise RuntimeError(f"request {rid} failed: {req.error}")
+        toks = req.tokens
         if self.lm.eos_id in toks:
             toks = toks[: toks.index(self.lm.eos_id)]
         return list(toks)

@@ -110,11 +110,13 @@ def _use_paged_kernel() -> bool:
 
 
 def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
-                        page: int, n_steps: int):
-    """``n_steps`` greedy steps for all slots over the paged pool, one
-    dispatch.  The host pre-allocates every page the chunk can touch
+                        page: int, n_steps: int, temps=None, top_ps=None,
+                        key=None, eos_id: int = 0):
+    """``n_steps`` steps for all slots over the paged pool, one dispatch.
+    The host pre-allocates every page the chunk can touch
     (PagedBatchEngine.step), so in-chunk page crossings are just table
-    lookups.  Returns (tokens (n_steps, S), new state)."""
+    lookups.  Sampling/stats semantics match batching._decode_chunk.
+    Returns (tokens, maxlp, eoslp (each (n_steps, S)), new state)."""
     mdl = params["model"]
     s, w = st.valid.shape
     mp = w // page
@@ -127,7 +129,7 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
     # gather ids fixed for the whole chunk (pages pre-allocated by the host)
     gather_pt = jnp.minimum(st.page_tables, pool_pages - 1)  # (S, mp)
 
-    def one_step(carry, _):
+    def one_step(carry, step_i):
         tok, offsets, valid, pk, pv = carry
         x = embedding(mdl["embed_tokens"], tok[:, None]).astype(
             jnp.dtype(cfg.dtype)
@@ -243,20 +245,30 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
         )
         x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
         logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        lg = logits[:, -1, :].astype(jnp.float32)
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        if temps is None:
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        else:
+            from .engine import sample_token_rows
+
+            nxt = sample_token_rows(
+                lg, jax.random.fold_in(key, step_i), temps, top_ps
+            )
 
         new_valid = jnp.where(
             active[:, None], valid.at[slot_ids, offsets].set(True), valid
         )
         new_offsets = jnp.where(active, offsets + 1, offsets)
         new_tok = jnp.where(active, nxt, tok)
-        return (new_tok, new_offsets, new_valid, pk, pv), nxt
+        stats = (nxt, lp.max(axis=-1), lp[:, eos_id])
+        return (new_tok, new_offsets, new_valid, pk, pv), stats
 
     carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v)
-    (tok_f, off_f, valid_f, pk, pv), toks = lax.scan(
-        one_step, carry0, None, length=n_steps
+    (tok_f, off_f, valid_f, pk, pv), (toks, maxlp, eoslp) = lax.scan(
+        one_step, carry0, jnp.arange(n_steps)
     )
-    return toks, PagedState(
+    return toks, maxlp, eoslp, PagedState(
         pool_k=pk, pool_v=pv, page_tables=st.page_tables, offsets=off_f,
         pads=st.pads, valid=valid_f, cos=st.cos, sin=st.sin, tokens=tok_f,
     )
@@ -334,10 +346,15 @@ class PagedBatchEngine(BatchEngine):
     full window (no saving — size it to your traffic, e.g.
     ``slots * window // (2 * page_size)`` for 2x memory efficiency when
     requests average under half the window).
+
+    Pool saturation preempts instead of raising: the youngest request is
+    evicted (pages released) and transparently resumed by recompute when
+    pages free up — the server survives overload at the cost of re-running
+    the victim's prefill (vLLM's recompute-preemption policy).
     """
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
-                 page_size: int = 64, pool_pages: int = 0):
+                 page_size: int = 64, pool_pages: int = 0, seed: int = 0):
         if 64 % page_size and page_size % 64:
             raise ValueError("page_size must divide or be a multiple of 64")
         if window % page_size:
@@ -346,7 +363,8 @@ class PagedBatchEngine(BatchEngine):
         self.pool_pages = pool_pages or slots * (window // page_size)
         self._free_pages: List[int] = list(range(self.pool_pages))
         self._slot_pages: Dict[int, List[int]] = {}
-        super().__init__(lm, processor, slots=slots, window=window)
+        self.preempted: List[int] = []  # rids awaiting recompute resume
+        super().__init__(lm, processor, slots=slots, window=window, seed=seed)
 
     def _init_state(self):
         return _init_paged(
@@ -368,31 +386,16 @@ class PagedBatchEngine(BatchEngine):
 
     # -- admission ----------------------------------------------------------
 
-    def submit(self, prompt: str, max_tokens: int = 512) -> int:
-        from .engine import round_up, run_prefill
-
-        if not self.free:
-            raise RuntimeError("no free slots; call step() until one frees")
-        slot = self.free.pop()
-        dict_input = self.processor(prompt)
-        l = int(np.asarray(dict_input["input_ids"]).shape[1])
-        l_guess = max(round_up(l, 64), 64)
-        if l_guess >= self.window:
-            self.free.append(slot)
-            raise ValueError(f"prompt ({l_guess}) does not fit window {self.window}")
-        logits, src_state, l_pad, src_window = run_prefill(
-            self.lm, dict_input, max_tokens=self.window - l_guess
+    def can_admit(self, prepared) -> bool:
+        return bool(self.free) and (
+            -(-prepared.l_pad // self.page_size) <= len(self._free_pages)
         )
-        assert src_window == self.window, (src_window, self.window)
-        first = int(np.argmax(jax.device_get(logits), axis=-1)[0])
 
+    def _adopt_prepared(self, p, slot: int) -> None:
         page = self.page_size
         mp = self.window // page
-        try:
-            ids = self._alloc_pages(-(-l_pad // page))
-        except RuntimeError:
-            self.free.append(slot)
-            raise
+        l_pad = p.l_pad
+        ids = self._alloc_pages(-(-l_pad // page))  # raises if pool is short
         self._slot_pages[slot] = list(ids)
         table_row = np.full((mp,), self.pool_pages, np.int32)
         table_row[: len(ids)] = ids
@@ -408,39 +411,123 @@ class PagedBatchEngine(BatchEngine):
             )
         self.state = PagedState.from_tree(
             self._adopt_fns[l_pad](
-                self.state.tree(), jnp.asarray(slot, jnp.int32), src_state,
-                jnp.asarray(first, jnp.int32), jnp.asarray(l_pad - l, jnp.int32),
+                self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
+                jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
                 jnp.asarray(table_row),
             )
         )
-        rid = self._next_rid
-        self._next_rid += 1
-        req = _Request(
-            rid=rid, slot=slot, tokens=[first], max_tokens=max_tokens, l_pad=l_pad
-        )
-        if first == self.lm.eos_id:
-            req.done = True
-            self._release_slot(slot)
-            self.free.append(slot)
-        else:
-            self.by_slot[slot] = req
-        self.requests[rid] = req
-        return rid
+
+    # -- preemption ---------------------------------------------------------
+
+    def pending(self) -> bool:
+        return bool(self.by_slot) or bool(self.preempted)
+
+    def _preempt(self, req) -> None:
+        """Evict a running request: release its pages, queue it for a
+        recompute resume (vLLM-style).  Its page-table row goes stale but the
+        slot is inactive — decode writes through it are sentinel-dropped."""
+        slot = req.slot
+        del self.by_slot[slot]
+        self.free.append(slot)
+        self._release_slot(slot)
+        req.slot = -1
+        self.preempted.append(req.rid)
+
+    def _fail_request(self, req, message: str) -> None:
+        req.error = message
+        req.done = True
+
+    def _try_resume(self) -> None:
+        """Re-admit preempted requests (oldest first) once a slot + enough
+        pages are free.  Resume = re-prefill prompt + generated-so-far (the
+        pending last token is re-seeded, not re-sampled), which reproduces
+        the evicted cache exactly: rope positions continue from the true
+        length and the quantized cache's groups are per-position."""
+        from .batching import _Prepared
+        from .engine import round_up, run_prefill
+
+        while self.preempted and self.free:
+            rid = self.preempted[0]
+            req = self.requests[rid]
+            ids = req.prompt_ids + req.tokens[:-1]
+            l = len(ids)
+            l_pad = max(round_up(l, 64), 64)
+            if l_pad >= self.window:
+                self.preempted.pop(0)
+                self._fail_request(
+                    req, f"cannot resume: prompt+generated ({l_pad}) fills "
+                         f"window {self.window}")
+                continue
+            n_pages = -(-l_pad // self.page_size)
+            if n_pages > self.pool_pages:
+                self.preempted.pop(0)
+                self._fail_request(
+                    req, f"cannot resume: needs {n_pages} pages, pool has "
+                         f"{self.pool_pages}")
+                continue
+            if n_pages > len(self._free_pages):
+                break  # wait for running requests to release pages
+            logits, src_state, l_pad2, _ = run_prefill(
+                self.lm, {"input_ids": np.asarray([ids], np.int32)},
+                max_tokens=self.window - l_pad,
+            )
+            assert l_pad2 == l_pad, (l_pad2, l_pad)
+            self.preempted.pop(0)
+            self.admit(_Prepared(
+                src_state=src_state, first=req.tokens[-1], l_pad=l_pad,
+                n_pads=l_pad - l, prompt_ids=req.prompt_ids,
+                max_tokens=req.max_tokens, temperature=req.temperature,
+                top_p=req.top_p, rid=rid,
+            ))
 
     # -- decode -------------------------------------------------------------
 
     def _on_slot_freed(self, slot: int) -> None:
         self._release_slot(slot)
 
+    def fail_all_active(self, message: str) -> None:
+        for rid in self.preempted:
+            self._fail_request(self.requests[rid], message)
+        self.preempted.clear()
+        super().fail_all_active(message)
+        self._free_pages = list(range(self.pool_pages))
+        self._slot_pages = {}
+
+    def _pages_needed(self, req, n_steps: int) -> int:
+        start = req.l_pad + len(req.tokens) - req.adopted_at
+        last = min(start + n_steps - 1, self.window - 1)
+        return last // self.page_size + 1
+
     def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
+        self._try_resume()
         if not self.by_slot:
             return {}
         page = self.page_size
-        # Pre-allocate every page this chunk can touch, per active slot.
+        # Make room for every page this chunk can touch.  On pool pressure,
+        # preempt the youngest request (cheapest recompute) instead of
+        # raising — it resumes via _try_resume when pages free up.
+        while True:
+            shortfall = sum(
+                max(0, self._pages_needed(r, n_steps) - len(self._slot_pages[r.slot]))
+                for r in self.by_slot.values()
+            ) - len(self._free_pages)
+            if shortfall <= 0:
+                break
+            if len(self.by_slot) == 1:
+                (req,) = self.by_slot.values()
+                slot = req.slot
+                del self.by_slot[slot]
+                self.free.append(slot)
+                self._release_slot(slot)
+                self._fail_request(
+                    req, f"page pool too small ({self.pool_pages} pages) for "
+                         f"a lone request's next chunk")
+                return {}
+            victim = max(self.by_slot.values(), key=lambda r: r.rid)
+            self._preempt(victim)
+        # Pre-allocate, per active slot.
         for slot, req in self.by_slot.items():
-            start = req.l_pad + len(req.tokens) - 1
-            last = min(start + n_steps - 1, self.window - 1)
-            needed = last // page + 1
+            needed = self._pages_needed(req, n_steps)
             have = len(self._slot_pages[slot])
             while needed > have:
                 (pid,) = self._alloc_pages(1)
@@ -450,24 +537,36 @@ class PagedBatchEngine(BatchEngine):
                 ].set(pid)
                 have += 1
 
-        if n_steps not in self._step_fns:
-            cfg = self.lm.cfg
+        temps, tops = self._sampling_vectors()
+        sampling = temps is not None
+        fkey = (n_steps, sampling)
+        if fkey not in self._step_fns:
+            cfg, eos_id = self.lm.cfg, self.lm.eos_id
 
-            def f(params, tree, active, _n=n_steps):
-                toks, st = _paged_decode_chunk(
-                    params, cfg, PagedState.from_tree(tree), active, page, _n
+            def f(params, tree, active, temps, tops, key, _n=n_steps,
+                  _s=sampling):
+                toks, maxlp, eoslp, st = _paged_decode_chunk(
+                    params, cfg, PagedState.from_tree(tree), active, page, _n,
+                    temps=temps if _s else None,
+                    top_ps=tops if _s else None, key=key, eos_id=eos_id,
                 )
-                return toks, st.tree()
+                return toks, maxlp, eoslp, st.tree()
 
-            self._step_fns[n_steps] = jax.jit(f, donate_argnums=(1,))
+            self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
-        toks, tree = self._step_fns[n_steps](
-            self.lm.params, self.state.tree(), jnp.asarray(active)
+        self._chunk_i += 1
+        toks, maxlp, eoslp, tree = self._step_fns[fkey](
+            self.lm.params, self.state.tree(), jnp.asarray(active),
+            temps if sampling else jnp.zeros((self.slots,), jnp.float32),
+            tops if sampling else jnp.ones((self.slots,), jnp.float32),
+            jax.random.fold_in(self._base_key, self._chunk_i),
         )
         self.state = PagedState.from_tree(tree)
         toks = jax.device_get(toks)
+        maxlp = jax.device_get(maxlp)
+        eoslp = jax.device_get(eoslp)
         out: Dict[int, List[int]] = {}
         for slot, req in list(self.by_slot.items()):
             emitted = out.setdefault(req.rid, [])
@@ -475,9 +574,16 @@ class PagedBatchEngine(BatchEngine):
                 tok = int(toks[i, slot])
                 req.tokens.append(tok)
                 emitted.append(tok)
-                hit_window = req.l_pad + len(req.tokens) >= self.window - 1
+                hit_window = (
+                    req.l_pad + len(req.tokens) - req.adopted_at + 1
+                    >= self.window - 1
+                )
+                early = req.stopper is not None and req.stopper.update(
+                    float(maxlp[i, slot]), float(eoslp[i, slot]), 1
+                )
                 if (
-                    tok == self.lm.eos_id
+                    early
+                    or tok == self.lm.eos_id
                     or len(req.tokens) >= req.max_tokens
                     or hit_window
                 ):

@@ -69,6 +69,11 @@ class ContinuousScheduler:
     ``engine.step()`` so the device always decodes the full active batch —
     requests arriving mid-decode join the running batch instead of queueing
     behind it (the reference can only batch prompts that arrive together).
+
+    Admission never stalls decode: the expensive prefill runs OUTSIDE the
+    condition lock (``engine.prepare``), and only the cheap cache adoption
+    (``engine.admit``) is serialized with the pump.  Engine errors fail the
+    owning requests, not the pump thread.
     """
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
@@ -82,20 +87,24 @@ class ContinuousScheduler:
 
         self.engine = Engine(lm, processor, slots=slots, window=window, **engine_kw)
         self._cv = threading.Condition()
-        self._done: dict = {}
         threading.Thread(target=self._pump, daemon=True).start()
 
-    def complete(self, prompt: str, max_tokens: int) -> str:
-        import threading
-
+    def complete(self, prompt: str, max_tokens: int,
+                 temperature: float = 0.0, top_p: float = 1.0) -> str:
+        # Prefill outside the lock: active slots keep decoding while this
+        # thread's prompt runs through the (possibly chunked) prefill.
+        prepared = self.engine.prepare(
+            prompt, max_tokens, temperature=temperature, top_p=top_p
+        )
         with self._cv:
-            while not self.engine.free:
+            while not self.engine.can_admit(prepared):
                 self._cv.wait()
-            rid = self.engine.submit(prompt, max_tokens=max_tokens)
+            rid = self.engine.admit(prepared)
             self._cv.notify_all()
-            while not self.engine.requests[rid].done:
+            req = self.engine.requests[rid]
+            while not req.done:
                 self._cv.wait()
-            return self.engine.result(rid)
+            return self.engine.result(rid)  # raises if the request failed
 
     def _pump(self):
         import os
@@ -105,10 +114,11 @@ class ContinuousScheduler:
             with self._cv:
                 while not self.engine.pending():
                     self._cv.wait()
-                before = set(self.engine.by_slot)
-                self.engine.step(chunk)
-                if before - set(self.engine.by_slot):  # someone finished
-                    self._cv.notify_all()
+                try:
+                    self.engine.step(chunk)
+                except Exception as e:  # fail owners, keep the pump alive
+                    self.engine.fail_all_active(f"{type(e).__name__}: {e}")
+                self._cv.notify_all()
 
 
 def make_continuous_handler(scheduler: ContinuousScheduler):
@@ -123,8 +133,13 @@ def make_continuous_handler(scheduler: ContinuousScheduler):
                 prompts = body.get("prompt", "")
                 prompts = [prompts] if isinstance(prompts, str) else prompts
                 max_tokens = int(body.get("max_tokens", 128))
+                temperature = float(body.get("temperature", 0.0))
+                top_p = float(body.get("top_p", 1.0))
                 responses = [
-                    scheduler.complete(p, max_tokens) for p in prompts
+                    scheduler.complete(
+                        p, max_tokens, temperature=temperature, top_p=top_p
+                    )
+                    for p in prompts
                 ]
                 payload = json.dumps(
                     {"model": "phi-3-vision-tpu", "responses": responses}
