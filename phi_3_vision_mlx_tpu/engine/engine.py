@@ -147,6 +147,7 @@ class LM:
                     pids=pids,
                     prompt_valid=valid,
                     inputs_embeds=ids_or_embeds if embeds else None,
+                    last_logit_only=True,
                 )
                 return res.logits[:, -1, :].astype(jnp.float32), res.state
 
@@ -179,6 +180,7 @@ class LM:
                 res = phi3.prefill(
                     params, cfg, None, max_tokens=window - l, pids=pids,
                     prompt_valid=valid, inputs_embeds=emb,
+                    last_logit_only=True,
                 )
                 return res.logits[:, -1, :].astype(jnp.float32), res.state
 
@@ -215,6 +217,7 @@ class LM:
                 res = phi3.prefill(
                     params, cfg, None, max_tokens=window - l, pids=pids,
                     prompt_valid=valid, inputs_embeds=emb,
+                    last_logit_only=True,
                 )
                 return res.logits[:, -1, :].astype(jnp.float32), res.state
 
@@ -222,13 +225,53 @@ class LM:
 
         return self._fn(("prefill_vraw", b, l, window, img_grids), build)
 
+    def prefill_vision_rawimg_fn(self, b: int, l: int, window: int,
+                                 img_specs: tuple):
+        """Like :meth:`prefill_vision_raw_fn` but from ORIGINAL uint8 images:
+        the hd_transform bilinear resize also runs on device (static PIL-
+        equivalent matrices), so the per-call H2D payload is the small
+        original image.  ``img_specs``: per-image static
+        ``(grid_h, grid_w, n_tokens, plan_items)``.
+        """
+        cfg = self.cfg
+
+        def build():
+            def f(params, ids, imgs, rows, cols, pids, valid):
+                from ..models.vision import device_image_features_raw
+                from ..ops.linear import embedding
+
+                emb = embedding(
+                    params["model"]["embed_tokens"], jnp.maximum(ids, 0)
+                ).astype(jnp.dtype(cfg.dtype))
+                vparams = params["model"]["vision_embed_tokens"]
+                for i, (gh, gw, n_tok, plan_items) in enumerate(img_specs):
+                    feats = device_image_features_raw(
+                        vparams, cfg.vision, cfg.image_dim_out, imgs[i],
+                        dict(plan_items), gh, gw,
+                    )
+                    emb = lax.dynamic_update_slice(
+                        emb, feats.astype(emb.dtype), (rows[i], cols[i], 0)
+                    )
+                res = phi3.prefill(
+                    params, cfg, None, max_tokens=window - l, pids=pids,
+                    prompt_valid=valid, inputs_embeds=emb,
+                    last_logit_only=True,
+                )
+                return res.logits[:, -1, :].astype(jnp.float32), res.state
+
+            return f
+
+        return self._fn(("prefill_vrawimg", b, l, window, img_specs), build)
+
     def extend_fn(self, b: int, l: int, window: int):
         """Feed an additional committed prompt chunk (chunked prefill)."""
         cfg = self.cfg
 
         def build():
             def f(params, ids, state):
-                res = phi3.decode_forward(params, cfg, state, input_ids=ids)
+                res = phi3.decode_forward(
+                    params, cfg, state, input_ids=ids, last_logit_only=True
+                )
                 return res.logits[:, -1, :].astype(jnp.float32), res.state
 
             return f
@@ -368,6 +411,29 @@ def run_prefill(lm: LM, dict_input: dict, max_tokens: int, inputs_embeds=None):
             )
         fn = lm.prefill_fn(b, l_pad, window, embeds=True)
         logits, state = fn(lm.params, inputs_embeds, jnp.asarray(pids_p), jnp.asarray(valid_p))
+        return logits, state, l_pad, window
+
+    if dict_input.get("raw_images") is not None:
+        # Fully-fused device pipeline from ORIGINAL pixels: bilinear resize +
+        # pad + normalize + bicubic global view + tiling + CLIP + scatter +
+        # prefill, one dispatch; H2D ships the small original image.
+        positions = np.asarray(dict_input["positions"])
+        sizes = np.asarray(dict_input["image_sizes"])
+        specs, rows, cols, idx = [], [], [], 0
+        for i, plan in enumerate(dict_input["resize_plans"]):
+            gh, gw = int(sizes[i][0]) // 336, int(sizes[i][1]) // 336
+            n_tok = int((gh * gw + 1) * 144 + 1 + (gh + 1) * 12)
+            specs.append((gh, gw, n_tok, tuple(sorted(plan.items()))))
+            rows.append(int(positions[idx][0]))
+            cols.append(int(positions[idx][1]) + (l_pad - l))
+            idx += n_tok
+        fn = lm.prefill_vision_rawimg_fn(b, l_pad, window, tuple(specs))
+        logits, state = fn(
+            lm.params, jnp.asarray(ids_p),
+            tuple(jnp.asarray(img) for img in dict_input["raw_images"]),
+            jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
+            jnp.asarray(pids_p), jnp.asarray(valid_p),
+        )
         return logits, state, l_pad, window
 
     if dict_input.get("hd_images") is not None:

@@ -48,6 +48,33 @@ def _resize_matrix(scale: float, out_size: int, in_size: int) -> np.ndarray:
     return g
 
 
+def _pil_bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Dense (out_size, in_size) matrix reproducing PIL's BILINEAR resampling
+    along one axis: triangle filter, support scaled for antialiased
+    downscaling, per-row weight normalization (PIL ``precompute_coeffs``).
+
+    Static per shape pair, so the device resize embeds it as a jit constant —
+    the per-call H2D payload is the small ORIGINAL image, not the ~4x bigger
+    hd image (through the remote tunnel the hd transfer alone costs ~120 ms).
+    PIL rounds through uint8 after resizing; the device path stays in float,
+    so outputs differ by <= 1/255 per tap (tolerance-tested)."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale  # triangle filter support = 1
+    g = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        xs = np.arange(lo, hi)
+        w = 1.0 - np.abs((xs + 0.5 - center) / filterscale)
+        w = np.clip(w, 0.0, None)
+        s = w.sum()
+        if s > 0:
+            g[i, lo:hi] = w / s
+    return g
+
+
 def interpolate_336(x: np.ndarray) -> np.ndarray:
     """(N, C, H, W) -> (N, C, 336, 336) via separable 2-tap cubic.
 
@@ -93,6 +120,27 @@ class Phi3VImageProcessor:
             img = img.transpose(Image.TRANSPOSE)
         return np.asarray(img, np.uint8)
 
+    def resize_plan(self, img) -> dict:
+        """Static hd_transform geometry for one image: everything the device
+        resize needs (same arithmetic as hd_transform_uint8, no pixel work).
+        """
+        w, h = img.size
+        trans = w < h
+        if trans:
+            w, h = h, w
+        scale = int(np.sqrt(self.num_crops * w / h))
+        rw, rh = int(scale * 336), int(scale * 336 * h / w)
+        diff = int(np.ceil(rh / 336) * 336) - rh
+        top = diff // 2
+        out_h, out_w = rh + diff, rw
+        if trans:
+            out_h, out_w = out_w, out_h
+        return {
+            "trans": trans, "src_h": h, "src_w": w, "rh": rh, "rw": rw,
+            "pad_top": top, "pad_bot": diff - top,
+            "out_h": out_h, "out_w": out_w,
+        }
+
     def normalize(self, arr_u8: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 -> CLIP-normalized (3, H, W) float32."""
         mean = self.image_mean.astype(np.float32)
@@ -105,11 +153,30 @@ class Phi3VImageProcessor:
         return int((h // 336 * w // 336 + 1) * 144 + 1 + (h // 336 + 1) * 12)
 
     def __call__(self, images, raw: bool = False) -> dict:
+        import os
+
+        if raw and os.environ.get("PHI3V_TPU_HOST_RESIZE", "0") != "1":
+            # Fully device-side pipeline: ship the ORIGINAL uint8 pixels plus
+            # a static resize plan; bilinear resize + pad + normalize + tile
+            # all run on-TPU (the hd image is ~4x the original's bytes, and
+            # H2D through the remote tunnel is the VQA path's biggest
+            # non-FLOP cost).
+            plans = [self.resize_plan(img) for img in images]
+            shapes = [[p["out_h"], p["out_w"]] for p in plans]
+            return {
+                "raw_images": [
+                    np.asarray(img.convert("RGB"), np.uint8) for img in images
+                ],
+                "resize_plans": plans,
+                "image_sizes": shapes,
+                "num_img_tokens": [self.count_tokens(h, w) for h, w in shapes],
+            }
         hd_u8 = [self.hd_transform_uint8(img) for img in images]
         shapes = [[im.shape[0], im.shape[1]] for im in hd_u8]
         num_img_tokens = [self.count_tokens(h, w) for h, w in shapes]
         if raw:
-            # Device-side pipeline: ship uint8, normalize/tile/resize on-TPU.
+            # Device-side pipeline from the host-resized hd image
+            # (PHI3V_TPU_HOST_RESIZE=1: exact-PIL-resize parity mode).
             return {
                 "hd_images": hd_u8,
                 "image_sizes": shapes,

@@ -143,7 +143,9 @@ def _use_flash(lq: int, lk: int) -> bool:
         return False
     if flag == "1":
         return True
-    return lq >= 512 and lk >= 2048
+    # r3 on-chip sweep (full-model prefill, fraction): lk=576 0.98x (wash),
+    # lk=1088 1.04x, lk=2048 1.27x vs the XLA path -> flash from 1K keys up.
+    return lq >= 512 and lk >= 1024
 
 
 def _use_kv_kernel(lq: int) -> bool:
@@ -158,6 +160,31 @@ def _use_kv_kernel(lq: int) -> bool:
     except Exception:
         return False
     return lq <= 16
+
+
+def _use_qflash(lq: int) -> bool:
+    """Quantized-cache FLASH kernel (mid-size chunks): reads the packed cache
+    in place instead of read_kv-materializing the window per chunk per layer.
+
+    Measured on the v5e fraction (32K window, r3): big chunks (lq=8192)
+    amortize the one-off window dequant over many queries and the bf16 flash
+    path wins (2633 vs 1335 tok/s) — the qflash kernel re-dequantizes every
+    kv tile once per q-tile.  Mid-size scoring chunks (256..2048) amortize
+    poorly; qflash avoids the window-sized HBM copy there.
+    Env: PHI3V_TPU_QFLASH=0 disables, =1 forces (on TPU)."""
+    import os
+
+    flag = os.environ.get("PHI3V_TPU_QFLASH", "auto")
+    if flag == "0":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    if flag == "1":
+        return True
+    return 256 <= lq <= 2048
 
 
 class ForwardResult(NamedTuple):
@@ -264,6 +291,28 @@ def _layer_step(
             )
             o = o_p[..., d_unperm(q.shape[-1], groups)].astype(x.dtype)
         elif (
+            kv_full.quantized
+            and valid is not None
+            and cfg.kv_quant.bits == 4
+            and _use_qflash(q.shape[2])
+        ):
+            # Prefill-sized chunks against the packed cache: flash tiling
+            # with in-kernel nibble dequant (no window-sized dequantized
+            # copy per chunk per layer).
+            from ..ops.kernels.kv_attention import (
+                d_perm,
+                d_unperm,
+                quantized_flash_attention,
+            )
+
+            groups = kv_full.k_scales.shape[-2] // 4
+            perm = d_perm(q.shape[-1], groups)
+            o_p = quantized_flash_attention(
+                q[..., perm], kv_full.k, kv_full.k_scales, valid, offset,
+                layer_idx, scale=scale,
+            )
+            o = o_p[..., d_unperm(q.shape[-1], groups)].astype(x.dtype)
+        elif (
             not kv_full.quantized
             and valid is not None
             and _use_kv_kernel(q.shape[2])
@@ -348,6 +397,7 @@ def decode_forward(
     *,
     advance: Optional[int] = None,
     n_beam: int = 1,
+    last_logit_only: bool = False,
 ) -> ForwardResult:
     """Run a chunk through the decoder against an existing cache window.
 
@@ -356,6 +406,10 @@ def decode_forward(
     (0 = pure scoring / cache rewind, 1 = constrained-decoding step).
     ``n_beam > 1`` scores a (B*n_beam, L) chunk against the shared cache
     without committing anything.
+
+    ``last_logit_only`` computes the lm_head for the final position only —
+    prefill / chunked-prefill callers that consume ``logits[:, -1]`` skip a
+    (L, E) x (E, V) matmul (~0.4 TFLOP per 2K-token chunk at full size).
     """
     mdl = params["model"]
     if inputs_embeds is None:
@@ -412,6 +466,8 @@ def decode_forward(
         valid=state.valid if write else None,
     )
     x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+    if last_logit_only:
+        x = x[:, -1:]
     # Slice in case the quantized lm_head was block-padded (weights.kernelize).
     logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
 
@@ -432,6 +488,7 @@ def prefill(
     pids=None,
     prompt_valid=None,
     inputs_embeds=None,
+    last_logit_only: bool = False,
 ) -> ForwardResult:
     """Allocate a decode window and run the prompt through it.
 
@@ -453,7 +510,8 @@ def prefill(
         compute_dtype=compute_dtype,
     )
     return decode_forward(
-        params, cfg, state, input_ids=input_ids, inputs_embeds=inputs_embeds
+        params, cfg, state, input_ids=input_ids, inputs_embeds=inputs_embeds,
+        last_logit_only=last_logit_only,
     )
 
 

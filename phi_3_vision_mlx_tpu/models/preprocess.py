@@ -88,7 +88,10 @@ class Phi3VProcessor(Phi3Processor):
             "image_sizes": np.asarray(images["image_sizes"], np.int32),
             "positions": positions.astype(np.int32),
         }
-        if "hd_images" in images:
+        if "raw_images" in images:
+            out["raw_images"] = images["raw_images"]  # device-side resize too
+            out["resize_plans"] = images["resize_plans"]
+        elif "hd_images" in images:
             out["hd_images"] = images["hd_images"]  # device-side pipeline
         else:
             out["pixel_values"] = np.asarray(images["pixel_values"], np.float32)

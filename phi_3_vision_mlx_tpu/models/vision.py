@@ -229,24 +229,15 @@ def compute_image_embeds(params: dict, cfg: ModelConfig, pixel_values, image_siz
     return outs
 
 
-def device_image_features(vparams, vcfg: ClipVisionConfig, image_dim_out: int,
-                          img_u8, grid_h: int, grid_w: int):
-    """Whole image pipeline on device: (H, W, 3) uint8 hd image -> (1, n, E).
-
-    Jit-traceable replacement for the host half of the reference
-    ``Phi3VImageProcessor`` (normalize, global-view bicubic, crop tiling —
-    phi.py:311-372) fused with the CLIP tower + pooling + projection.  The
-    only host work left is PIL's variable-size bilinear resize+pad
-    (image_processor.hd_transform_uint8); everything from the uint8 pixels
-    onward is one XLA program.
-    """
+def _features_from_hd(vparams, vcfg: ClipVisionConfig, image_dim_out: int,
+                      x_hwc, grid_h: int, grid_w: int):
+    """Shared device tail: CLIP-normalized (H, W, 3) float image -> (1, n, E)
+    (global bicubic view, crop tiling, CLIP tower, 2x2 pooling, separators,
+    projection)."""
     from .image_processor import _resize_matrix
 
     h_px, w_px = grid_h * 336, grid_w * 336
-    mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], jnp.float32)
-    std_inv = 1.0 / jnp.asarray([0.26862954, 0.26130258, 0.27577711], jnp.float32)
-    x = (img_u8.astype(jnp.float32) * (1.0 / 255.0) - mean) * std_inv  # (H, W, 3)
-    chw = x.transpose(2, 0, 1)  # (3, H, W)
+    chw = x_hwc.transpose(2, 0, 1)  # (3, H, W)
 
     # Global 336x336 view: the reference's 2-tap cubic as two matmuls
     # (G_h @ img @ G_w^T); G matrices are static per crop grid.
@@ -285,6 +276,68 @@ def device_image_features(vparams, vcfg: ClipVisionConfig, image_dim_out: int,
     )
     x = jnp.concatenate([sub_t, vparams["glb_GN"], glb_t], axis=1)
     return _project(vparams, x)
+
+
+def _normalize_u8(x):
+    mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], jnp.float32)
+    std_inv = 1.0 / jnp.asarray([0.26862954, 0.26130258, 0.27577711], jnp.float32)
+    return (x.astype(jnp.float32) * (1.0 / 255.0) - mean) * std_inv
+
+
+def device_image_features(vparams, vcfg: ClipVisionConfig, image_dim_out: int,
+                          img_u8, grid_h: int, grid_w: int):
+    """Whole image pipeline on device: (H, W, 3) uint8 hd image -> (1, n, E).
+
+    Jit-traceable replacement for the host half of the reference
+    ``Phi3VImageProcessor`` (normalize, global-view bicubic, crop tiling —
+    phi.py:311-372) fused with the CLIP tower + pooling + projection.  The
+    only host work left is PIL's variable-size bilinear resize+pad
+    (image_processor.hd_transform_uint8); everything from the uint8 pixels
+    onward is one XLA program.
+    """
+    return _features_from_hd(
+        vparams, vcfg, image_dim_out, _normalize_u8(img_u8), grid_h, grid_w
+    )
+
+
+def device_image_features_raw(vparams, vcfg: ClipVisionConfig,
+                              image_dim_out: int, orig_u8, plan: dict,
+                              grid_h: int, grid_w: int):
+    """Image pipeline from the ORIGINAL uint8 pixels: PIL's hd_transform
+    bilinear resize runs on device as two static matmuls (weights reproduce
+    PIL's triangle filter, image_processor._pil_bilinear_matrix), then white
+    pad + normalize + the shared tail.  Shipping the original image instead
+    of the ~4x-bigger hd image cuts the dominant H2D cost of VQA prefill
+    (~120 ms for a 4 MB hd image through the remote tunnel).
+    """
+    from .image_processor import _pil_bilinear_matrix
+
+    x = orig_u8
+    if plan["trans"]:
+        x = x.transpose(1, 0, 2)  # portrait -> landscape (PIL TRANSPOSE)
+    rh, rw = plan["rh"], plan["rw"]
+    ph = jnp.asarray(_pil_bilinear_matrix(rh, plan["src_h"]).astype(np.float32))
+    pw = jnp.asarray(_pil_bilinear_matrix(rw, plan["src_w"]).astype(np.float32))
+    xf = x.astype(jnp.float32)  # (src_h, src_w, 3)
+    tmp = jnp.tensordot(ph, xf, axes=((1,), (0,)),
+                        precision=jax.lax.Precision.HIGHEST)  # (rh, w, 3)
+    resized = jnp.tensordot(tmp, pw, axes=((1,), (1,)),
+                            precision=jax.lax.Precision.HIGHEST)
+    resized = resized.transpose(0, 2, 1)  # (rh, rw, 3)
+    resized = jnp.clip(resized, 0.0, 255.0)
+    padded = jnp.pad(
+        resized,
+        ((plan["pad_top"], plan["pad_bot"]), (0, 0), (0, 0)),
+        constant_values=255.0,  # white, reference phi.py:308
+    )
+    if plan["trans"]:
+        padded = padded.transpose(1, 0, 2)
+    x_hwc = (padded * (1.0 / 255.0) - jnp.asarray(
+        [0.48145466, 0.4578275, 0.40821073], jnp.float32
+    )) * (1.0 / jnp.asarray(
+        [0.26862954, 0.26130258, 0.27577711], jnp.float32
+    ))
+    return _features_from_hd(vparams, vcfg, image_dim_out, x_hwc, grid_h, grid_w)
 
 
 def compute_inputs_embeds(params: dict, cfg: ModelConfig, dict_input: dict):

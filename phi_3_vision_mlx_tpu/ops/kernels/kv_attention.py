@@ -653,3 +653,192 @@ def quantized_kv_attention(
         validr,
     )
     return out[:, :rows].reshape(b, kvh, g, lq, d).reshape(b, h, lq, d)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-cache FLASH attention (prefill-sized query blocks)
+# ---------------------------------------------------------------------------
+
+
+def _qflash_kernel(
+    L_ref,  # scalar prefetch: (1,) int32 [layer]
+    qp_ref,  # scalar prefetch: (1,) int32 [absolute position of q row 0]
+    q_ref,  # (1, blq*g, d) bf16 — D-permuted queries, heads interleaved
+    kv_ref,  # (1, 1, 1, d, blk) uint8 nibble-packed [k | v<<4]
+    sc_ref,  # (1, 1, 1, 4G, blk) bf16 fused [ks; kb; vs; vb]
+    valid_ref,  # (1, 1, blk) int32
+    o_ref,  # (1, blq*g, d)
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    blq: int,
+    blk: int,
+    g: int,
+    scale: float,
+):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = q_ref.shape[-1]
+    groups = sc_ref.shape[-2] // 4
+    reps = d // groups
+    payload = kv_ref[0, 0, 0].astype(jnp.int32)  # (d, blk)
+    sc = sc_ref[0, 0, 0]  # (4G, blk)
+
+    def dequant(qp, scs, bis):
+        sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
+        bf = pltpu.repeat(bis, reps, 0).astype(jnp.float32)
+        return (qp.astype(jnp.float32) * sf + bf).astype(jnp.bfloat16)
+
+    k_t = dequant(payload & 15, sc[:groups], sc[groups : 2 * groups])  # (d, blk)
+    q = q_ref[0]  # (blq*g, d)
+    s = jax.lax.dot_general(
+        q, k_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (rows, blk)
+    s *= scale
+
+    # causal + validity mask from indices (flash_attention's derivation; rows
+    # interleave the g q-heads of one query: row r -> query r // g)
+    q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // g
+    q_pos = qp_ref[0] + pl.program_id(2) * blq + q_rows
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * blk
+    ok = (key_pos <= q_pos) & (valid_ref[0, 0][None, :] > 0)
+    s = jnp.where(ok, s, NEG_INF)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+    )
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+    v_t = dequant(payload >> 4, sc[2 * groups : 3 * groups], sc[3 * groups :])
+    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
+        p.astype(v_t.dtype), v_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == pl.num_programs(3) - 1)
+    def _store():
+        l = l_ref[...][:, : acc_ref.shape[1]]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def quantized_flash_attention(
+    q, kv_payload, kv_scales, valid, q_pos0, layer_idx, *, scale: float,
+    block_q: int = 256, block_k: int = 1024, interpret: bool = False,
+):
+    """Flash attention reading the stacked nibble-packed quantized cache IN
+    PLACE — the prefill-sized counterpart of :func:`quantized_kv_attention`.
+
+    Chunked long prefill previously materialized a dequantized copy of the
+    full window per chunk per layer (engine read_kv; VERDICT r2 item 2); this
+    kernel streams the payload once per (q-tile, k-tile) pair and dequantizes
+    tile-by-tile inside the online-softmax loop.
+
+    q: (B, H, Lq, D) queries, already D-permuted (see module docstring).
+    kv_payload: (nl, B, KV, D, Lmax) uint8 [k | v<<4]; kv_scales:
+    (nl, B, KV, 4G, Lmax) bf16.  valid: (B, Lmax).  q_pos0: () int32 —
+    absolute position of the first query (cache offset).  Returns
+    (B, H, Lq, D) in q.dtype, still D-permuted.
+    """
+    b, h, lq, d = q.shape
+    nl, _, kvh, _, lmax = kv_payload.shape
+    g = h // kvh
+    gq4 = kv_scales.shape[-2]
+    blq = max(8, min(block_q // g, lq))
+    lq_pad = -lq % blq
+    if lq_pad:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lq_pad), (0, 0)])
+    lq_t = lq + lq_pad
+    blk = next(
+        bb
+        for bb in (block_k, 512, 256, 128, lmax)
+        if bb <= lmax and lmax % bb == 0
+    )
+
+    # flash_attention's GQA fold: row r of a q-tile = query (r // g) of head
+    # (kv*g + r % g)
+    qr = (
+        q.reshape(b, kvh, g, lq_t, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b * kvh, lq_t * g, d)
+        .astype(jnp.bfloat16)
+    )
+    validr = jnp.repeat(valid.astype(jnp.int32), kvh, axis=0)[:, None, :]
+
+    rows = blq * g
+    grid = (b, kvh, lq_t // blq, lmax // blk)
+    out = pl.pallas_call(
+        functools.partial(_qflash_kernel, blq=blq, blk=blk, g=g, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * kvh, lq_t * g, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows, d),
+                    lambda bi, hi, qi, kj, L, QP: (
+                        bi * pl.num_programs(1) + hi, qi, 0
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, d, blk),
+                    lambda bi, hi, qi, kj, L, QP: (L[0], bi, hi, 0, kj),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gq4, blk),
+                    lambda bi, hi, qi, kj, L, QP: (L[0], bi, hi, 0, kj),
+                ),
+                pl.BlockSpec(
+                    (1, 1, blk),
+                    lambda bi, hi, qi, kj, L, QP: (
+                        bi * pl.num_programs(1) + hi, 0, kj
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows, d),
+                lambda bi, hi, qi, kj, L, QP: (
+                    bi * pl.num_programs(1) + hi, qi, 0
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(q_pos0, jnp.int32).reshape(1),
+        qr,
+        kv_payload,
+        kv_scales,
+        validr,
+    )
+    out = (
+        out.reshape(b, kvh, lq_t, g, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, h, lq_t, d)
+    )
+    return out[:, :, :lq]

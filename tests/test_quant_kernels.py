@@ -118,3 +118,98 @@ def test_dense_dispatch_tiled_layout(rng):
         rtol=0.05,
         atol=0.05,
     )
+
+
+def test_quantized_flash_matches_read_kv_window():
+    """quantized_flash_attention (prefill-sized q blocks, in-kernel nibble
+    dequant) vs dequantize-the-window (read_kv) + masked XLA attention."""
+    from phi_3_vision_mlx_tpu.core.config import KVQuantConfig
+    from phi_3_vision_mlx_tpu.engine.state import LayerKV, quantize_chunk, read_kv
+    from phi_3_vision_mlx_tpu.ops.attention import masked_attention
+    from phi_3_vision_mlx_tpu.ops.kernels.kv_attention import (
+        d_perm,
+        d_unperm,
+        quantized_flash_attention,
+    )
+
+    rng = np.random.default_rng(2)
+    nl, b, h, kvh, d, w = 2, 1, 4, 2, 32, 256
+    lq, off = 40, 24  # 40-query chunk extending a 24-column cache
+    kvq = KVQuantConfig()
+
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k_raw = jnp.asarray(rng.standard_normal((nl, b, kvh, w, d)), jnp.float32)
+    v_raw = jnp.asarray(rng.standard_normal((nl, b, kvh, w, d)), jnp.float32)
+    entries = quantize_chunk(k_raw, v_raw, kvq, True)
+    payload, scales = entries.k, entries.k_scales  # (nl,b,kvh,d,w), (nl,b,kvh,4G,w)
+
+    valid = np.zeros((b, w), bool)
+    valid[0, 4 : off + lq] = True  # 4 left-pad columns invisible
+    valid = jnp.asarray(valid)
+    groups = scales.shape[-2] // 4
+    scale = d**-0.5
+
+    for layer in range(nl):
+        out_p = quantized_flash_attention(
+            q[..., d_perm(d, groups)], payload, scales, valid,
+            jnp.asarray(off, jnp.int32), jnp.asarray(layer, jnp.int32),
+            scale=scale, block_q=16, block_k=128, interpret=True,
+        )
+        out = out_p[..., d_unperm(d, groups)]
+
+        kc, vc = read_kv(
+            LayerKV(k=payload[layer], k_scales=scales[layer]), jnp.float32, 4
+        )
+        q_pos = off + jnp.arange(lq)
+        key_pos = jnp.arange(w)
+        allowed = (key_pos[None, :] <= q_pos[:, None])[None, None] & valid[
+            :, None, None, :
+        ]
+        ref = masked_attention(q, kc, vc, allowed, scale)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2, err_msg=f"layer {layer}",
+        )
+
+
+def test_quantized_flash_unaligned_lq():
+    """lq not a multiple of the q block: trailing pad rows must not leak."""
+    from phi_3_vision_mlx_tpu.core.config import KVQuantConfig
+    from phi_3_vision_mlx_tpu.engine.state import LayerKV, quantize_chunk, read_kv
+    from phi_3_vision_mlx_tpu.ops.attention import masked_attention
+    from phi_3_vision_mlx_tpu.ops.kernels.kv_attention import (
+        d_perm,
+        d_unperm,
+        quantized_flash_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    b, h, kvh, d, w = 1, 2, 2, 32, 128
+    lq, off = 20, 0
+    kvq = KVQuantConfig()
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k_raw = jnp.asarray(rng.standard_normal((1, b, kvh, w, d)), jnp.float32)
+    v_raw = jnp.asarray(rng.standard_normal((1, b, kvh, w, d)), jnp.float32)
+    entries = quantize_chunk(k_raw, v_raw, kvq, True)
+    payload, scales = entries.k, entries.k_scales
+    valid = jnp.asarray(np.arange(w)[None] < lq)
+    groups = scales.shape[-2] // 4
+    scale = d**-0.5
+
+    out_p = quantized_flash_attention(
+        q[..., d_perm(d, groups)], payload, scales, valid,
+        jnp.asarray(off, jnp.int32), jnp.asarray(0, jnp.int32),
+        scale=scale, block_q=8, block_k=128, interpret=True,
+    )
+    out = out_p[..., d_unperm(d, groups)]
+    kc, vc = read_kv(LayerKV(k=payload[0], k_scales=scales[0]), jnp.float32, 4)
+    q_pos = off + jnp.arange(lq)
+    key_pos = jnp.arange(w)
+    allowed = (key_pos[None, :] <= q_pos[:, None])[None, None] & valid[
+        :, None, None, :
+    ]
+    ref = masked_attention(q, kc, vc, allowed, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

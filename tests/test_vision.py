@@ -93,13 +93,16 @@ def test_vision_generate_e2e(tmp_path):
     from phi_3_vision_mlx_tpu.api import _load, generate
     from phi_3_vision_mlx_tpu.core import weights as W
 
+    from phi_3_vision_mlx_tpu.models.image_processor import Phi3VImageProcessor
+
     path = str(tmp_path / "tiny_v")
     W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
     lm, proc = _load(path)
+    proc.img_processor = Phi3VImageProcessor(num_crops=4)  # CPU-speed config
     assert lm.cfg.has_vision
     out = generate(
         "What is shown in this image?",
-        images=[_test_image()],
+        images=[_test_image(125, 75)],
         preload=(lm, proc),
         max_tokens=4,
         verbose=False,
@@ -132,12 +135,15 @@ def test_multi_image_generate(tmp_path):
     from phi_3_vision_mlx_tpu.api import _load, generate
     from phi_3_vision_mlx_tpu.core import weights as W
 
+    from phi_3_vision_mlx_tpu.models.image_processor import Phi3VImageProcessor
+
     path = str(tmp_path / "tiny_v_multi")
     W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
     lm, proc = _load(path)
+    proc.img_processor = Phi3VImageProcessor(num_crops=4)  # CPU-speed config
     out = generate(
         "Compare these images.",
-        images=[_test_image(400, 300), _test_image(300, 400)],
+        images=[_test_image(125, 75), _test_image(75, 125)],
         preload=(lm, proc),
         max_tokens=4,
         verbose=False,
@@ -158,18 +164,29 @@ def test_device_image_path_matches_host_path(tmp_path, monkeypatch):
     from phi_3_vision_mlx_tpu.core import weights as W
     from phi_3_vision_mlx_tpu.engine.engine import run_prefill
 
+    from phi_3_vision_mlx_tpu.models.image_processor import Phi3VImageProcessor
+
     path = str(tmp_path / "tiny_v_dev")
     W.create_random_checkpoint(path, "tiny_vision", vocab_size=32064)
     lm, proc = _load(path)
+    # 4 crops / small image: the parity claim is path-equivalence, which is
+    # crop-count-independent; 16 crops x3 paths took >1h of CPU compile.
+    proc.img_processor = Phi3VImageProcessor(num_crops=4)
     prompt = "<|user|>\n<|image_1|>\nDescribe.<|end|>\n<|assistant|>\n"
 
     monkeypatch.setenv("PHI3V_TPU_DEVICE_IMAGE", "1")
-    di_dev = proc(prompt, [_test_image(500, 300)])
+    monkeypatch.setenv("PHI3V_TPU_HOST_RESIZE", "1")  # exact-PIL hd path
+    di_dev = proc(prompt, [_test_image(125, 75)])
     assert "hd_images" in di_dev
     logits_dev, _, _, _ = run_prefill(lm, di_dev, max_tokens=4)
 
+    monkeypatch.setenv("PHI3V_TPU_HOST_RESIZE", "0")
+    di_raw = proc(prompt, [_test_image(125, 75)])
+    assert "raw_images" in di_raw
+    logits_raw, _, _, _ = run_prefill(lm, di_raw, max_tokens=4)
+
     monkeypatch.setenv("PHI3V_TPU_DEVICE_IMAGE", "0")
-    di_host = proc(prompt, [_test_image(500, 300)])
+    di_host = proc(prompt, [_test_image(125, 75)])
     assert "pixel_values" in di_host
     logits_host, _, _, _ = run_prefill(lm, di_host, max_tokens=4)
 
@@ -178,3 +195,43 @@ def test_device_image_path_matches_host_path(tmp_path, monkeypatch):
         np.asarray(logits_host, np.float32),
         rtol=2e-4, atol=2e-4,
     )
+    # The fully-raw path replaces PIL's uint8-rounded bilinear with an exact
+    # float equivalent (<= 1 LSB per pixel, test below) — logits track the
+    # host path within sanity tolerance, not bit-exactness.
+    np.testing.assert_allclose(
+        np.asarray(logits_raw, np.float32),
+        np.asarray(logits_host, np.float32),
+        rtol=0.1, atol=0.1,
+    )
+
+
+def test_device_resize_matches_pil_hd_transform():
+    """The static bilinear matrices reproduce PIL's hd_transform resize+pad
+    to within 1 uint8 LSB (PIL rounds through uint8; the device stays float)
+    — upscale, downscale (antialias support > 1), and portrait transpose."""
+    from phi_3_vision_mlx_tpu.models.image_processor import _pil_bilinear_matrix
+
+    proc = Phi3VImageProcessor()
+    for w, h in [(500, 300), (300, 500), (640, 480), (2200, 1400)]:
+        img = _test_image(w, h)
+        hd = proc.hd_transform_uint8(img)
+        plan = proc.resize_plan(img)
+        x = np.asarray(img.convert("RGB"), np.float64)
+        if plan["trans"]:
+            x = x.transpose(1, 0, 2)
+        ph = _pil_bilinear_matrix(plan["rh"], plan["src_h"])
+        pw = _pil_bilinear_matrix(plan["rw"], plan["src_w"])
+        # two separable matmuls (a 3-operand np.einsum without optimize=True
+        # runs the naive quintuple loop — minutes at 2200x1400)
+        tmp = np.tensordot(ph, x, axes=([1], [0]))  # (rh, w, c)
+        r = np.tensordot(tmp, pw, axes=([1], [1]))  # (rh, c, rw)
+        r = np.clip(r.transpose(0, 2, 1), 0, 255)
+        padded = np.pad(
+            r, ((plan["pad_top"], plan["pad_bot"]), (0, 0), (0, 0)),
+            constant_values=255.0,
+        )
+        if plan["trans"]:
+            padded = padded.transpose(1, 0, 2)
+        assert padded.shape == hd.shape, (w, h)
+        err = np.max(np.abs(padded - hd.astype(np.float64)))
+        assert err <= 1.0, (w, h, err)
