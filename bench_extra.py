@@ -129,6 +129,16 @@ def quant32k():
             "note": "BASELINE config 5 window (32K quantized-cache decode)"}
 
 
+def quant48k():
+    """48K window: the fraction's single-chip ceiling — cache (4.8 GB payload
+    + 1.2 GB scales) + 1.9 GB weights ~ 7.9 GB just fits its ~8 GB HBM.
+    64K (~9.9 GB total) OOMs; beyond that is multi-chip KV head sharding."""
+    tps = _window_tps(49152, True, max_tokens=128)
+    return {"metric": "decode_tps_quantized_cache_48k_window",
+            "value": round(tps, 2), "unit": "tok/s",
+            "note": "largest single-chip window on the v5e fraction"}
+
+
 def vqa():
     from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
     from phi_3_vision_mlx_tpu.core import weights as W
@@ -284,7 +294,7 @@ def chat():
 
 ALL = {
     "single": single, "batch15": batch15, "dense8k": dense8k,
-    "quant8k": quant8k, "quant32k": quant32k,
+    "quant8k": quant8k, "quant32k": quant32k, "quant48k": quant48k,
     "prefill32k": prefill32k, "vqa": vqa, "chat": chat, "serve": serve,
 }
 EXTRA = {"quant64k": quant64k}  # needs a full chip's HBM
