@@ -87,17 +87,16 @@ def ring_self_attention(q, k, v, valid, scale: float, axis_name: str):
 def make_ring_attention(mesh, seq_axis: str = "data"):
     """shard_map-wrapped ring attention over ``seq_axis`` of ``mesh``."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     spec_qkv = P(None, None, seq_axis, None)
     spec_valid = P(None, seq_axis)
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_valid),
         out_specs=spec_qkv,
-        check_rep=False,
+        check_vma=False,
     )
     def fn(q, k, v, valid):
         d = q.shape[-1]
