@@ -10,6 +10,7 @@ Workloads (BASELINE.md configs + ROADMAP long-context targets):
   vqa       - single-image VQA prefill latency
   chat      - interactive profile: first-token latency, adaptive chunk ramp
   serve     - continuous-batching aggregate throughput (staggered requests)
+  spec      - prompt-lookup speculative decode (overhead + cycling bound)
   quant64k  - (full-chip HBM only; not in the default run)
 
 Run all: ``python bench_extra.py``; subset: ``python bench_extra.py quant8k``.
@@ -213,6 +214,94 @@ def quant64k():
             "value": round(tps, 2), "unit": "tok/s"}
 
 
+def spec():
+    """Prompt-lookup speculative decoding (engine/speculative.py).
+
+    Two honest numbers:
+    * overhead: the standard single-stream workload — synthetic random
+      weights produce non-repeating text, so acceptance is ~0 and this
+      measures the worst case (every weight pass verifies K+1 positions
+      but emits 1 token);
+    * cycling: the same full-size weights with the lm_head restricted to
+      256 live logits, so greedy generation enters a repeating cycle —
+      the mechanical upper bound at high acceptance.  Real-text acceptance
+      sits between the two and is workload-dependent (echo / extraction /
+      RAG-style generation approaches the cycling bound).
+    The emitted stream is bit-identical to vanilla greedy in both cases
+    (tests/test_speculative.py).
+    """
+    from phi_3_vision_mlx_tpu.engine.engine import generate_text
+
+    prompt = (
+        "Write a detailed mystery story set in a lighthouse on a remote "
+        "island, where the keeper discovers a coded journal."
+    )
+
+    def run(lm, proc, spec_on):
+        best, stats = 0.0, None
+        for _ in range(3):
+            _, tps = generate_text(
+                lm, proc, prompt, max_tokens=512, verbose=False, stream=False,
+                mute=True, return_tps=True, speculative=spec_on,
+            )
+            if tps > best:
+                best, stats = tps, getattr(lm, "_spec_stats", None)
+        return best, stats
+
+    lm, proc = _lm()
+    base_tps, _ = run(lm, proc, False)
+    over_tps, over_stats = run(lm, proc, True)
+
+    # cycling workload: identical weight/cache traffic, 256 live logits
+    from bench import synth_quantized_params
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+
+    cfg = preset("phi35_mini").replace(
+        quantized=QuantConfig(
+            group_size=64, bits=4, mode=os.environ["BENCH_QUANT_MODE"]
+        )
+    )
+    params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    head = params["lm_head"]
+    live = 256
+    mask = (jnp.arange(cfg.vocab_size) < live).astype(jnp.bfloat16)
+    head["scales"] = head["scales"] * mask[None, :]
+    if "biases" in head:
+        head["biases"] = head["biases"] * mask[None, :]
+    if jax.default_backend() == "tpu":
+        from phi_3_vision_mlx_tpu.core.weights import kernelize_params
+
+        params = kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    lm2 = LM(cfg, params)
+    proc2 = Phi3Processor(tokenizer=ByteTokenizer())
+    cyc_base, _ = run(lm2, proc2, False)
+    cyc_tps, cyc_stats = run(lm2, proc2, True)
+
+    def accept(stats):
+        if not stats or not stats.get("iters"):
+            return None
+        return round(stats["emitted"] / stats["iters"], 2)
+
+    return {
+        "metric": "spec_decode_tps_cycling",
+        "value": round(cyc_tps, 2),
+        "unit": "tok/s",
+        "vanilla_same_weights": round(cyc_base, 2),
+        "speedup": round(cyc_tps / cyc_base, 2),
+        "tokens_per_pass": accept(cyc_stats),
+        "overhead_workload_tps": round(over_tps, 2),
+        "overhead_vanilla_tps": round(base_tps, 2),
+        "overhead_tokens_per_pass": accept(over_stats),
+        "note": "prompt-lookup speculative decode, greedy-exact; cycling = "
+                "256-live-logit lm_head (upper bound), overhead = "
+                "non-repeating text (lower bound)",
+    }
+
+
 def serve():
     """Continuous-batching serving throughput: 8 staggered requests over 4
     slots (requests join the running batch mid-decode)."""
@@ -296,6 +385,7 @@ ALL = {
     "single": single, "batch15": batch15, "dense8k": dense8k,
     "quant8k": quant8k, "quant32k": quant32k, "quant48k": quant48k,
     "prefill32k": prefill32k, "vqa": vqa, "chat": chat, "serve": serve,
+    "spec": spec,
 }
 EXTRA = {"quant64k": quant64k}  # needs a full chip's HBM
 ALL_RUNNABLE = {**ALL, **EXTRA}

@@ -193,11 +193,15 @@ def generate(
     temperature=1.0,
     top_p=1.0,
     seed=0,
+    speculative=None,
 ):
     """Batched generation with streaming (reference :1324-1374).
 
     Greedy by default (reference parity); ``sample=True`` enables on-device
-    temperature / nucleus sampling (``temperature``, ``top_p``, ``seed``)."""
+    temperature / nucleus sampling (``temperature``, ``top_p``, ``seed``).
+    ``speculative=True`` (or env ``PHI3V_TPU_SPEC=1``) enables prompt-lookup
+    speculative decoding — greedy single-stream only, output bit-identical
+    (engine/speculative.py)."""
     if isinstance(prompt, str) and "<|api_input|>" in prompt and enable_api:
         from .agent.tools import get_api
 
@@ -224,6 +228,7 @@ def generate(
         temperature=temperature,
         top_p=top_p,
         seed=seed,
+        speculative=speculative,
     )
 
 

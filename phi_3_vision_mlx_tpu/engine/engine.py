@@ -552,10 +552,13 @@ def generate_text(
     temperature: float = 1.0,
     top_p: float = 1.0,
     seed: int = 0,
+    speculative: Optional[bool] = None,
 ):
     if images is not None and isinstance(prompt, list):
         raise ValueError("Images cannot be provided when prompt is a list")
     sampler = (float(temperature), float(top_p)) if sample else None
+    if speculative is None:
+        speculative = os.environ.get("PHI3V_TPU_SPEC", "0") == "1"
     dict_input = processor(prompt, images)
     b = int(np.asarray(dict_input["input_ids"]).shape[0])
 
@@ -595,7 +598,68 @@ def generate_text(
         step_timer.tick()
     chunk, chunk_max = _chunk_schedule()
     chunk_i = 0
+
+    # Prompt-lookup speculative decoding (engine/speculative.py): greedy,
+    # single-stream only.  Emits 1..K+1 tokens per weight pass; the emitted
+    # stream is bit-identical to the vanilla greedy path.
+    use_spec = bool(speculative) and sampler is None and b == 1
+    spec_buf = None
+    if use_spec:
+        from .speculative import init_token_buffer, spec_chunk_fn
+
+        spec_k = int(os.environ.get("PHI3V_TPU_SPEC_K", "7"))
+        spec_iters = int(os.environ.get("PHI3V_TPU_SPEC_ITERS", "32"))
+        ids_sp, _, _ = pad_prompt_inputs(dict_input, l_pad)
+        spec_buf = init_token_buffer(ids_sp, window)
+        spec_off = l_pad  # host mirror of the committed device offset
+        lm._spec_stats = {"iters": 0, "emitted": 0}
+
     while n_emitted < max_tokens and not stop:
+        if use_spec:
+            # Fit the dispatch to the remaining window: each of n_it
+            # iterations advances the offset by at most K+1 and writes K+1
+            # columns, so (n_it + 1) * (K + 1) free columns are sufficient.
+            # Power-of-two sizes bound the number of compilations.
+            room = (window - spec_off) // (spec_k + 1) - 1
+            n_it = spec_iters
+            while n_it > 1 and n_it > room:
+                n_it //= 2
+            if n_it >= 4 and n_it <= room:
+                fn = spec_chunk_fn(lm, window, n_it, spec_k)
+                tok_dev, state, spec_buf, toks_s, maxlp_s, eoslp_s, n_emits = fn(
+                    lm.params, tok_dev, state, spec_buf
+                )
+                toks_s = jax.device_get(toks_s)  # (n_it, 1, K+1)
+                maxlp_s = jax.device_get(maxlp_s)
+                eoslp_s = jax.device_get(eoslp_s)
+                n_emits = jax.device_get(n_emits)
+                if step_timer is not None:
+                    step_timer.tick()
+                for it in range(n_it):
+                    m = int(n_emits[it])
+                    spec_off += m
+                    lm._spec_stats["iters"] += 1
+                    lm._spec_stats["emitted"] += m
+                    for p in range(m):
+                        streamer(toks_s[it][:, p][:, None])
+                        n_emitted += 1
+                        if logit_stopper.update(
+                            float(maxlp_s[it, 0, p]), float(eoslp_s[it, 0, p]), b
+                        ):
+                            stop = True
+                            break
+                        if token_stopper.update(toks_s[it, :, p]):
+                            stop = True
+                            break
+                        if n_emitted >= max_tokens:
+                            break
+                    if stop or n_emitted >= max_tokens:
+                        break
+                continue
+            # Window tail too tight for speculation: the rest of this
+            # generation decodes through the vanilla chunk path (spec_off
+            # stops mirroring the device offset once vanilla steps run).
+            use_spec = False
         n_steps = min(chunk, max_tokens - n_emitted)
         chunk = min(chunk * 4, chunk_max)
         fn = lm.chunk_fn(b, window, n_steps, sampler=sampler)

@@ -1,0 +1,138 @@
+"""Prompt-lookup speculative decoding: greedy-exact, draft-model-free.
+
+Single-stream decode on TPU is HBM-bound — every generated token pays one
+full read of the (quantized) weights, so greedy decode caps near the
+weight-payload speed of light no matter how fast the MXU is.  Speculative
+decoding breaks that bound: verify K drafted tokens in ONE forward pass
+(an lq = K+1 chunk reads the weights once) and emit 1..K+1 tokens per
+weight pass.  Drafts come from n-gram continuation lookup over the tokens
+already in the window ("prompt lookup" — no draft model), which is strong
+whenever generation echoes the context: summarization, extraction, RAG,
+code edits, constrained form-filling.
+
+Exactness: acceptance is argmax-match, so the emitted stream is
+bit-identical to vanilla greedy decode (the reference's only decode mode,
+/root/reference/phi_3_vision_mlx.py:386).  The reference has no
+speculative path; this is a beyond-parity TPU feature.
+
+TPU-native mechanics (everything inside one ``lax.scan``; the host sees
+only token ids + per-position logit stats):
+
+* the token history lives in a device buffer aligned slot-for-slot with
+  the KV cache window (slot p holds the token whose KV sits at column p);
+* proposal is a vectorized 3->2->1-gram match over the committed window
+  (one compare+argmax sweep, no host round-trip);
+* verification is ``decode_forward(advance=0)`` + a traced offset bump of
+  ``accepted+1``.  Stale cache columns beyond the committed offset are
+  already invisible (``key_pos <= q_pos`` masking, models/phi3.py) and
+  the next iteration's chunk write covers them, so rollback is free.
+
+Restricted to batch 1 (the cache offset is a shared scalar) and greedy
+sampling — exactly the single-stream case the technique accelerates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import phi3
+
+
+def propose_drafts(buf, valid, tok, off, k_draft: int):
+    """N-gram continuation lookup over the committed window.
+
+    buf: (B, W) int32 token history (slot p = token at cache column p).
+    valid: (B, W) bool key validity (False at left-pad columns).
+    tok: (B, 1) the pending token (input of the next decode step).
+    off: () int32 committed offset.
+
+    Finds the most recent position j whose trailing n-gram (n = 3, then 2,
+    then 1) matches the sequence ending at ``tok`` and returns the K tokens
+    that followed it, clamped to the committed region.  No match is fine —
+    the drafts simply won't be accepted.
+    """
+    b, w = buf.shape
+    idx = jnp.arange(w, dtype=jnp.int32)
+    # j must leave at least one committed continuation token: j <= off - 2.
+    committed = valid & (idx[None, :] <= off - 2)
+    t0 = tok[:, 0]
+    rows = jnp.arange(b)
+    prev1 = buf[rows, jnp.maximum(off - 1, 0)]
+    prev2 = buf[rows, jnp.maximum(off - 2, 0)]
+    r1 = jnp.roll(buf, 1, axis=1)
+    r2 = jnp.roll(buf, 2, axis=1)
+    m1 = (buf == t0[:, None]) & committed
+    m2 = m1 & (r1 == prev1[:, None]) & (idx[None, :] >= 1)
+    m3 = m2 & (r2 == prev2[:, None]) & (idx[None, :] >= 2)
+
+    def best(m):
+        return m.any(axis=1), jnp.where(m, idx[None, :], -1).max(axis=1)
+
+    has3, j3 = best(m3)
+    has2, j2 = best(m2)
+    has1, j1 = best(m1)
+    j = jnp.where(has3, j3, jnp.where(has2, j2, j1))
+    base = jnp.where(has3 | has2 | has1, j + 1, 0)
+    pos = jnp.clip(
+        base[:, None] + jnp.arange(k_draft, dtype=jnp.int32)[None, :],
+        0,
+        jnp.maximum(off - 1, 0),
+    )
+    # Clamp ids at 0: vision prompts keep negative placeholder ids in the
+    # history buffer (their cache columns hold image embeddings); they must
+    # never reach the embedding table.
+    return jnp.maximum(jnp.take_along_axis(buf, pos, axis=1), 0)
+
+
+def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
+    """Compiled speculative-decode scan: ``n_iters`` verify steps per
+    device call, each emitting 1..K+1 tokens.
+
+    Returns fn(params, token (1,1), state, buf, ) ->
+      (token, state, buf, toks (n, 1, K+1), maxlp, eoslp, n_emits (n,)).
+    """
+    cfg, eos_id = lm.cfg, lm.eos_id
+
+    def build():
+        def f(params, token, state, buf):
+            def body(carry, _):
+                tok, st, hist = carry
+                off = st.offset
+                draft = propose_drafts(hist, st.valid, tok, off, k_draft)
+                ids = jnp.concatenate([tok, draft], axis=1)  # (1, K+1)
+                hist = lax.dynamic_update_slice(hist, ids, (0, off))
+                res = phi3.decode_forward(
+                    params, cfg, st, input_ids=ids, advance=0
+                )
+                logits = res.logits.astype(jnp.float32)  # (1, K+1, V)
+                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = (draft == out[:, :-1]).astype(jnp.int32)
+                acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (1,)
+                n_emit = acc[0] + 1
+                st = res.state._replace(offset=off + n_emit)
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                nxt = jnp.take_along_axis(out, acc[:, None], axis=1)
+                stats = (out, lp.max(axis=-1), lp[..., eos_id], n_emit)
+                return (nxt, st, hist), stats
+
+            (tok_f, st_f, buf_f), (toks, maxlp, eoslp, n_emits) = lax.scan(
+                body, (token, state, buf), None, length=n_iters
+            )
+            return tok_f, st_f, buf_f, toks, maxlp, eoslp, n_emits
+
+        return f
+
+    return lm._fn(
+        ("spec_chunk", window, n_iters, k_draft), build, donate=(2, 3)
+    )
+
+
+def init_token_buffer(ids_padded, window: int):
+    """(B, l_pad) padded prompt ids -> (B, window) int32 history buffer."""
+    ids = jnp.asarray(ids_padded, jnp.int32)
+    b, l_pad = ids.shape
+    return jnp.concatenate(
+        [ids, jnp.zeros((b, window - l_pad), jnp.int32)], axis=1
+    )

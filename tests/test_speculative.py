@@ -1,0 +1,197 @@
+"""Prompt-lookup speculative decoding (engine/speculative.py).
+
+The contract under test: the speculative path emits a token stream
+BIT-IDENTICAL to vanilla greedy decode (acceptance is argmax-match), while
+advancing the cache offset by 1..K+1 per weight pass.  The reference has
+no speculative mode; parity here is against our own vanilla greedy engine
+(which test_parity_reference.py anchors to the reference forward).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phi_3_vision_mlx_tpu.api import _load, generate
+from phi_3_vision_mlx_tpu.core import weights as W
+from phi_3_vision_mlx_tpu.engine.speculative import propose_drafts
+
+VOCAB = 32064
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("models") / "tiny")
+    W.create_random_checkpoint(path, "tiny", vocab_size=VOCAB)
+    return path
+
+
+def _spec_env(monkeypatch, iters="8", k="7"):
+    monkeypatch.setenv("PHI3V_TPU_SPEC_ITERS", iters)
+    monkeypatch.setenv("PHI3V_TPU_SPEC_K", k)
+
+
+# ---------------------------------------------------------------------------
+# Draft proposal
+# ---------------------------------------------------------------------------
+
+
+def test_propose_continues_most_recent_ngram():
+    # committed history: 5 6 7 8 | 5 6 9 1 | (off=8); pending tok = 6,
+    # context (..., 5, 6).  Trigram (x,5,6) matches at j=1 (ctx 0-pad,5,6?
+    # no: buf[-1] roll) — the bigram (5,6) matches j=1 and j=5; most recent
+    # is j=5, so the draft continues 9, 1, ...
+    buf = jnp.array([[5, 6, 7, 8, 5, 6, 9, 1, 0, 0, 0, 0]], jnp.int32)
+    valid = jnp.ones((1, 12), bool)
+    off = jnp.asarray(8, jnp.int32)
+    tok = jnp.array([[6]], jnp.int32)
+    # pending sequence ends ...9,1,6?  No: prev1 = buf[off-1] = 1.
+    # Use tok=6 with prev1=1: bigram (1,6) has no match -> unigram 6 at
+    # j in {1, 5}; most recent j=5 -> draft = buf[6:] = 9,1,...
+    draft = np.asarray(propose_drafts(buf, valid, tok, off, 3))
+    # draft positions 6,7,8 -> clamped to the committed region (<= off-1=7)
+    # -> tokens 9, 1, 1
+    assert draft.tolist() == [[9, 1, 1]]
+
+
+def test_propose_prefers_longer_ngram():
+    # history: [3 4 9 9 | 2 4 7 7] off=8, pending 4, prev1=7, prev2=7.
+    # unigram 4 matches j=1 (follow 9) and j=5 (follow 7); bigram (7,4): no
+    # match; so most recent unigram wins -> 7.  Now make a trigram match
+    # exist: history [7 7 4 8 | 2 9 7 7] pending 4 -> trigram (7,7,4) at
+    # j=2 -> draft 8, even though a more recent unigram 4 exists nowhere
+    # else... construct both: [7 7 4 8 4 9 7 7] pending 4: unigram matches
+    # j=2, j=4 (recent j=4 -> 9); trigram (7,7,4) matches j=2 only -> the
+    # longer n-gram must override recency: draft starts with 8.
+    buf = jnp.array([[7, 7, 4, 8, 4, 9, 7, 7, 0, 0, 0, 0]], jnp.int32)
+    valid = jnp.ones((1, 12), bool)
+    off = jnp.asarray(8, jnp.int32)
+    tok = jnp.array([[4]], jnp.int32)
+    draft = np.asarray(propose_drafts(buf, valid, tok, off, 2))
+    assert draft[0, 0] == 8
+
+
+def test_propose_excludes_pad_and_uncommitted():
+    # Left-pad region (valid=False) and the region beyond offset must never
+    # contribute drafts.
+    buf = jnp.array([[9, 9, 9, 1, 2, 3, 9, 5, 5, 5, 5, 5]], jnp.int32)
+    valid = jnp.concatenate(
+        [jnp.zeros((1, 3), bool), jnp.ones((1, 9), bool)], axis=1
+    )
+    off = jnp.asarray(7, jnp.int32)  # committed: 1 2 3 9 (+ pad 9 9 9)
+    tok = jnp.array([[9]], jnp.int32)
+    draft = np.asarray(propose_drafts(buf, valid, tok, off, 2))
+    # the only committed match for 9 is j=6 -> but j <= off-2 = 5, so no
+    # match at all; beyond-offset 5s and pad 9s are excluded -> fallback
+    # draft is clamped committed tokens, never the uncommitted 5s
+    assert not np.any(draft == 5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end parity vs vanilla greedy
+# ---------------------------------------------------------------------------
+
+
+def _gen(preload, prompt, spec, max_tokens=48):
+    return generate(
+        prompt,
+        preload=preload,
+        max_tokens=max_tokens,
+        verbose=False,
+        stream=False,
+        mute=True,
+        speculative=spec,
+    )
+
+
+def test_spec_matches_vanilla_dense(ckpt, monkeypatch):
+    _spec_env(monkeypatch)
+    lm, proc = _load(ckpt)
+    prompt = "The cat sat on the mat. The cat sat on the mat. The cat"
+    base = _gen((lm, proc), prompt, False)
+    spec = _gen((lm, proc), prompt, True)
+    assert spec == base
+    stats = lm._spec_stats
+    assert stats["emitted"] >= stats["iters"] > 0
+
+
+def test_spec_matches_vanilla_quantized_cache(ckpt, monkeypatch):
+    _spec_env(monkeypatch)
+    lm, proc = _load(ckpt)
+    lm.cfg = lm.cfg.replace(use_quantized_cache=True)
+    prompt = "alpha beta gamma alpha beta gamma alpha beta"
+    base = _gen((lm, proc), prompt, False)
+    spec = _gen((lm, proc), prompt, True)
+    assert spec == base
+
+
+def test_spec_matches_vanilla_nonrepetitive(ckpt, monkeypatch):
+    _spec_env(monkeypatch)
+    lm, proc = _load(ckpt)
+    prompt = "Q: summarize the following paragraph in one word."
+    base = _gen((lm, proc), prompt, False, max_tokens=32)
+    spec = _gen((lm, proc), prompt, True, max_tokens=32)
+    assert spec == base
+
+
+def test_spec_tail_falls_back_cleanly(ckpt, monkeypatch):
+    # Window slack smaller than one speculative dispatch: the engine must
+    # fall back to vanilla chunks and still match.
+    _spec_env(monkeypatch, iters="32", k="7")
+    lm, proc = _load(ckpt)
+    prompt = "tick tock tick tock tick"
+    base = _gen((lm, proc), prompt, False, max_tokens=12)
+    spec = _gen((lm, proc), prompt, True, max_tokens=12)
+    assert spec == base
+
+
+def test_spec_acceptance_on_looping_generation():
+    # Greedy decode from a small-vocab random model settles into a repeating
+    # cycle; prompt-lookup must then accept drafts (>1 token per weight
+    # pass) AND the emitted stream must still match vanilla greedy decode
+    # token-for-token.  Deterministic: fixed seed, fixed shapes.
+    import jax
+
+    from phi_3_vision_mlx_tpu.core.config import preset
+    from phi_3_vision_mlx_tpu.engine.engine import LM, run_prefill
+    from phi_3_vision_mlx_tpu.engine.speculative import (
+        init_token_buffer,
+        spec_chunk_fn,
+    )
+
+    cfg = preset("tiny")  # vocab 512 -> greedy cycles quickly
+    from phi_3_vision_mlx_tpu.models import phi3
+
+    params = phi3.init_params(cfg, jax.random.PRNGKey(3))
+    lm = LM(cfg, params)
+    di = {"input_ids": np.tile(np.array([[5, 6, 7, 8]], np.int32), (1, 4))}
+    n_iters, k = 32, 7
+
+    def prefill():
+        logits, state, l_pad, window = run_prefill(lm, dict(di), 360)
+        tok = np.argmax(np.asarray(logits), -1).astype(np.int32)[:, None]
+        return jnp.asarray(tok), state, l_pad, window
+
+    # vanilla greedy rollout for the golden stream
+    tok, state, l_pad, window = prefill()
+    golden = [int(tok[0, 0])]
+    vfn = lm.chunk_fn(1, window, 256)
+    _, _, toks, _, _ = vfn(lm.params, tok, state, jax.random.PRNGKey(0))
+    golden += [int(t) for t in np.asarray(toks)[:, 0]]
+
+    # speculative rollout
+    tok, state, l_pad, window = prefill()
+    buf = init_token_buffer(
+        np.pad(di["input_ids"], ((0, 0), (l_pad - 16, 0))), window
+    )
+    sfn = spec_chunk_fn(lm, window, n_iters, k)
+    emitted = [int(tok[0, 0])]
+    for _ in range(2):
+        tok, state, buf, toks, _, _, n_emits = sfn(lm.params, tok, state, buf)
+        toks = np.asarray(toks)
+        for it, m in enumerate(np.asarray(n_emits)):
+            emitted += [int(t) for t in toks[it, 0, : int(m)]]
+    total_iters = 2 * n_iters
+    assert len(emitted) - 1 > total_iters * 1.2, (
+        f"no speedup: {len(emitted) - 1} tokens / {total_iters} passes"
+    )
+    assert emitted == golden[: len(emitted)]
