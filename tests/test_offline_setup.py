@@ -2,20 +2,49 @@
 
 Exercises the reference's top-level flow (auto-setup on first load,
 4-config benchmark) hermetically with random checkpoints
-(PHI3V_TPU_ALLOW_RANDOM=1, 2-layer models for speed)."""
+(PHI3V_TPU_ALLOW_RANDOM=1; 2-layer narrow models via
+PHI3V_TPU_RANDOM_OVERRIDES so the one-core CPU suite stays fast).  The
+checkpoint tree is built once per module — _setup idempotency is part of
+the contract (the reference also reuses its local model dirs)."""
 
 import json
 import os
 
 import pytest
 
+_TINY = json.dumps(
+    {
+        "hidden_size": 256,
+        "intermediate_size": 512,
+        "num_attention_heads": 8,
+        "num_key_value_heads": 8,
+    }
+)
 
-@pytest.fixture()
-def workdir(tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
-    monkeypatch.setenv("PHI3V_TPU_ALLOW_RANDOM", "1")
-    monkeypatch.setenv("PHI3V_TPU_RANDOM_LAYERS", "2")
-    return tmp_path
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("offline")
+    old_cwd = os.getcwd()
+    old_env = {
+        k: os.environ.get(k)
+        for k in (
+            "PHI3V_TPU_ALLOW_RANDOM",
+            "PHI3V_TPU_RANDOM_LAYERS",
+            "PHI3V_TPU_RANDOM_OVERRIDES",
+        )
+    }
+    os.chdir(path)
+    os.environ["PHI3V_TPU_ALLOW_RANDOM"] = "1"
+    os.environ["PHI3V_TPU_RANDOM_LAYERS"] = "2"
+    os.environ["PHI3V_TPU_RANDOM_OVERRIDES"] = _TINY
+    yield path
+    os.chdir(old_cwd)
+    for k, v in old_env.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
 
 
 @pytest.mark.slow

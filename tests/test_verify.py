@@ -30,7 +30,7 @@ def paths(tmp_path_factory):
 def _args(paths, mode, configs):
     return [
         mode, "--golden", paths["golden"], "--configs", configs,
-        "--dataset", "synthetic", "--take", "4", "--long-window", "512",
+        "--dataset", "synthetic", "--take", "2", "--long-window", "256",
         "--lora-rank", "2", "--lora-layers", "2",
         "--blind-path", paths["blind"], "--quant-path", paths["blind_q"],
         "--vision-path", paths["vision"],
