@@ -608,7 +608,7 @@ def generate_text(
         from .speculative import init_token_buffer, spec_chunk_fn
 
         spec_k = int(os.environ.get("PHI3V_TPU_SPEC_K", "7"))
-        spec_iters = int(os.environ.get("PHI3V_TPU_SPEC_ITERS", "32"))
+        spec_iters = int(os.environ.get("PHI3V_TPU_SPEC_ITERS", "64"))
         ids_sp, _, _ = pad_prompt_inputs(dict_input, l_pad)
         spec_buf = init_token_buffer(ids_sp, window)
         spec_off = l_pad  # host mirror of the committed device offset
@@ -616,27 +616,24 @@ def generate_text(
 
     while n_emitted < max_tokens and not stop:
         if use_spec:
-            # Fit the dispatch to the remaining window: each of n_it
-            # iterations advances the offset by at most K+1 and writes K+1
-            # columns, so (n_it + 1) * (K + 1) free columns are sufficient.
-            # Power-of-two sizes bound the number of compilations.
-            room = (window - spec_off) // (spec_k + 1) - 1
-            n_it = spec_iters
-            while n_it > 1 and n_it > room:
-                n_it //= 2
-            if n_it >= 4 and n_it <= room:
-                fn = spec_chunk_fn(lm, window, n_it, spec_k)
+            if window - spec_off >= spec_k + 1:
+                # The scan self-limits on device (budget + window guard), so
+                # one compiled size serves the whole generation; a dispatch
+                # with room for >= 1 iteration always makes progress.
+                fn = spec_chunk_fn(lm, window, spec_iters, spec_k)
+                budget = jnp.asarray(max_tokens - n_emitted, jnp.int32)
                 tok_dev, state, spec_buf, toks_s, maxlp_s, eoslp_s, n_emits = fn(
-                    lm.params, tok_dev, state, spec_buf
+                    lm.params, tok_dev, state, spec_buf, budget
                 )
-                toks_s = jax.device_get(toks_s)  # (n_it, 1, K+1)
-                maxlp_s = jax.device_get(maxlp_s)
-                eoslp_s = jax.device_get(eoslp_s)
-                n_emits = jax.device_get(n_emits)
+                toks_s, maxlp_s, eoslp_s, n_emits = jax.device_get(
+                    (toks_s, maxlp_s, eoslp_s, n_emits)
+                )  # one host transfer; toks_s: (n_iters, 1, K+1)
                 if step_timer is not None:
                     step_timer.tick()
-                for it in range(n_it):
+                for it in range(spec_iters):
                     m = int(n_emits[it])
+                    if m == 0:  # budget/window exhausted on device
+                        continue
                     spec_off += m
                     lm._spec_stats["iters"] += 1
                     lm._spec_stats["emitted"] += m
@@ -667,9 +664,7 @@ def generate_text(
         tok_dev, state, toks, maxlp, eoslp = fn(
             lm.params, tok_dev, state, jax.random.fold_in(base_key, chunk_i)
         )
-        toks = jax.device_get(toks)  # (n, B)
-        maxlp = jax.device_get(maxlp)
-        eoslp = jax.device_get(eoslp)
+        toks, maxlp, eoslp = jax.device_get((toks, maxlp, eoslp))  # (n, B)
         if step_timer is not None:
             step_timer.tick()  # one sample per decode-chunk dispatch
         for i in range(n_steps):

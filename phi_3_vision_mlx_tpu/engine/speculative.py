@@ -87,18 +87,34 @@ def propose_drafts(buf, valid, tok, off, k_draft: int):
 
 
 def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
-    """Compiled speculative-decode scan: ``n_iters`` verify steps per
+    """Compiled speculative-decode scan: up to ``n_iters`` verify steps per
     device call, each emitting 1..K+1 tokens.
 
-    Returns fn(params, token (1,1), state, buf, ) ->
+    The scan self-limits on device (``lax.cond`` skips the forward once the
+    budget or the window is exhausted), so dispatches can be sized like the
+    vanilla 256-step decode chunks — per-dispatch host/tunnel overhead is
+    what dominates small chunks, not the verify passes themselves.
+
+    Returns fn(params, token (1,1), state, buf, budget ()) ->
       (token, state, buf, toks (n, 1, K+1), maxlp, eoslp, n_emits (n,)).
+    ``n_emits[i] == 0`` marks skipped iterations (budget/window exhausted).
     """
     cfg, eos_id = lm.cfg, lm.eos_id
 
     def build():
-        def f(params, token, state, buf):
-            def body(carry, _):
-                tok, st, hist = carry
+        def f(params, token, state, buf, budget):
+            zero_stats = (
+                jnp.zeros((1, k_draft + 1), jnp.int32),
+                jnp.zeros((1, k_draft + 1), jnp.float32),
+                jnp.zeros((1, k_draft + 1), jnp.float32),
+                jnp.zeros((), jnp.int32),
+            )
+
+            def skip(carry):
+                return carry, zero_stats
+
+            def step(carry):
+                tok, st, hist, left = carry
                 off = st.offset
                 draft = propose_drafts(hist, st.valid, tok, off, k_draft)
                 ids = jnp.concatenate([tok, draft], axis=1)  # (1, K+1)
@@ -115,10 +131,15 @@ def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
                 lp = jax.nn.log_softmax(logits, axis=-1)
                 nxt = jnp.take_along_axis(out, acc[:, None], axis=1)
                 stats = (out, lp.max(axis=-1), lp[..., eos_id], n_emit)
-                return (nxt, st, hist), stats
+                return (nxt, st, hist, left - n_emit), stats
 
-            (tok_f, st_f, buf_f), (toks, maxlp, eoslp, n_emits) = lax.scan(
-                body, (token, state, buf), None, length=n_iters
+            def body(carry, _):
+                _, st, _, left = carry
+                live = (left > 0) & (st.offset + k_draft + 1 <= window)
+                return lax.cond(live, step, skip, carry)
+
+            (tok_f, st_f, buf_f, _), (toks, maxlp, eoslp, n_emits) = lax.scan(
+                body, (token, state, buf, budget), None, length=n_iters
             )
             return tok_f, st_f, buf_f, toks, maxlp, eoslp, n_emits
 

@@ -186,7 +186,10 @@ def test_spec_acceptance_on_looping_generation():
     sfn = spec_chunk_fn(lm, window, n_iters, k)
     emitted = [int(tok[0, 0])]
     for _ in range(2):
-        tok, state, buf, toks, _, _, n_emits = sfn(lm.params, tok, state, buf)
+        budget = jnp.asarray(360 - len(emitted), jnp.int32)
+        tok, state, buf, toks, _, _, n_emits = sfn(
+            lm.params, tok, state, buf, budget
+        )
         toks = np.asarray(toks)
         for it, m in enumerate(np.asarray(n_emits)):
             emitted += [int(t) for t in toks[it, 0, : int(m)]]
@@ -195,3 +198,17 @@ def test_spec_acceptance_on_looping_generation():
         f"no speedup: {len(emitted) - 1} tokens / {total_iters} passes"
     )
     assert emitted == golden[: len(emitted)]
+
+    # Device-side budget guard: with budget << n_iters the scan must stop
+    # emitting (trailing zero n_emits) and overshoot by at most K.
+    tok, state, l_pad, window = prefill()
+    buf = init_token_buffer(
+        np.pad(di["input_ids"], ((0, 0), (l_pad - 16, 0))), window
+    )
+    _, _, _, _, _, _, n_emits = sfn(
+        lm.params, tok, state, buf, jnp.asarray(5, jnp.int32)
+    )
+    n_emits = np.asarray(n_emits)
+    total = int(n_emits.sum())
+    assert 5 <= total <= 5 + k, n_emits
+    assert n_emits[-1] == 0  # later iterations skipped on device
