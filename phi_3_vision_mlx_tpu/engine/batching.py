@@ -41,7 +41,8 @@ from ..ops.rope import apply_rotary, su_rope_tables
 class SlotState:
     """Device-side state of all slots (functional; replaced each step)."""
 
-    def __init__(self, kv_k, kv_v, offsets, pads, valid, cos, sin, tokens):
+    def __init__(self, kv_k, kv_v, offsets, pads, valid, cos, sin, tokens,
+                 buf=None):
         self.kv_k = kv_k  # (nl, S, KV, W, D)
         self.kv_v = kv_v
         self.offsets = offsets  # (S,) int32 — committed cache columns per slot
@@ -50,10 +51,16 @@ class SlotState:
         self.cos = cos  # (S, W, D) per-slot rope tables
         self.sin = sin
         self.tokens = tokens  # (S,) int32 — last sampled token per slot
+        # (S, W) int32 token history aligned with cache columns — feeds the
+        # prompt-lookup draft proposer (engine/speculative.py); performance
+        # metadata only, never a correctness input (verification is exact).
+        self.buf = (
+            buf if buf is not None else jnp.zeros(valid.shape, jnp.int32)
+        )
 
     def tree(self):
         return (self.kv_k, self.kv_v, self.offsets, self.pads, self.valid,
-                self.cos, self.sin, self.tokens)
+                self.cos, self.sin, self.tokens, self.buf)
 
     @classmethod
     def from_tree(cls, t):
@@ -116,7 +123,13 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     quantized = cfg.use_quantized_cache
 
     def one_step(carry, step_i):
-        tok, offsets, valid, kv_k, kv_v = carry
+        tok, offsets, valid, kv_k, kv_v, buf = carry
+        # Record the input token at its cache column so a later speculative
+        # chunk can propose drafts from this history (metadata only).
+        buf = jnp.where(
+            active[:, None], buf.at[slot_ids, offsets].set(tok, mode="drop"),
+            buf,
+        )
         x = embedding(mdl["embed_tokens"], tok[:, None]).astype(
             jnp.dtype(cfg.dtype)
         )  # (S, 1, E)
@@ -208,24 +221,160 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
         new_offsets = jnp.where(active, offsets + 1, offsets)
         new_tok = jnp.where(active, nxt, tok)
         stats = (nxt, lp.max(axis=-1), lp[:, eos_id])
-        return (new_tok, new_offsets, new_valid, kv_k, kv_v), stats
+        return (new_tok, new_offsets, new_valid, kv_k, kv_v, buf), stats
 
-    carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v)
-    (tok_f, off_f, valid_f, kv_k, kv_v), (toks, maxlp, eoslp) = lax.scan(
+    carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v, st.buf)
+    (tok_f, off_f, valid_f, kv_k, kv_v, buf_f), (toks, maxlp, eoslp) = lax.scan(
         one_step, carry0, jnp.arange(n_steps)
     )
     return toks, maxlp, eoslp, SlotState(
         kv_k=kv_k, kv_v=kv_v, offsets=off_f, pads=st.pads, valid=valid_f,
-        cos=st.cos, sin=st.sin, tokens=tok_f,
+        cos=st.cos, sin=st.sin, tokens=tok_f, buf=buf_f,
+    )
+
+
+def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
+                       n_passes: int, k_draft: int, eos_id: int = 0):
+    """``n_passes`` speculative verify passes for every slot in ONE dispatch.
+
+    Per pass each slot proposes K draft tokens from its token history
+    (prompt-lookup, engine/speculative.py) and verifies them in a single
+    (S, K+1) forward; accepted drafts advance that slot's offset by 1..K+1,
+    so one weight pass serves up to K+1 tokens *per slot*.  Greedy only;
+    each slot's emitted stream is bit-identical to :func:`_decode_chunk`'s.
+
+    Slots whose window cannot absorb a worst-case pass go dead (``n_emit``
+    0, no writes — the host finalizes them as window-full).  Returns
+    (tokens (n, S, K+1), maxlp, eoslp, n_emits (n, S), new state).
+    """
+    from .speculative import propose_drafts
+
+    mdl = params["model"]
+    s, w = st.valid.shape
+    light, heavy = phi3._partition_heavy(mdl["layers"])
+    key_pos = jnp.arange(w)
+    slot_ids = jnp.arange(s)
+    scale = cfg.head_dim**-0.5
+    quantized = cfg.use_quantized_cache
+    kk1 = k_draft + 1
+    ar = jnp.arange(kk1)
+
+    def one_pass(carry, _):
+        tok, offsets, valid, kv_k, kv_v, buf = carry
+        live = active & (offsets + kk1 <= w)
+        draft = propose_drafts(buf, valid, tok[:, None], offsets, k_draft)
+        ids = jnp.concatenate([tok[:, None], draft], axis=1)  # (S, kk1)
+        wpos = offsets[:, None] + ar[None, :]  # cache column per query
+        # dead slots write nowhere: clamp to an OOB column + mode="drop"
+        wpos_safe = jnp.where(live[:, None], wpos, w)
+        buf = buf.at[slot_ids[:, None], wpos_safe].set(ids, mode="drop")
+        x = embedding(mdl["embed_tokens"], ids).astype(jnp.dtype(cfg.dtype))
+
+        pidx = jnp.clip((offsets - st.pads)[:, None] + ar[None, :], 0, w - 1)
+        cos = jnp.take_along_axis(
+            st.cos, jnp.broadcast_to(pidx[:, :, None], (s, kk1, st.cos.shape[-1])), 1
+        )
+        sin = jnp.take_along_axis(
+            st.sin, jnp.broadcast_to(pidx[:, :, None], (s, kk1, st.sin.shape[-1])), 1
+        )
+
+        # Causal mask per query position: committed past + the fresh columns
+        # written by this pass (write-then-attend inside the layer body).
+        fresh = (key_pos[None, None, :] >= offsets[:, None, None]) & (
+            key_pos[None, None, :] <= wpos[:, :, None]
+        )
+        allowed = (
+            (key_pos[None, None, :] <= wpos[:, :, None]) & valid[:, None, :]
+        ) | fresh
+        allowed = allowed[:, None]  # (S, 1, kk1, W)
+
+        def body(carry, xs):
+            y, kk_, vv_ = carry
+            lp, li = xs
+            h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+            qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
+            q, k, v = phi3._qkv_split(cfg, qkv)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+            from ..engine.state import LayerKV, quantize_chunk, read_kv
+            from ..ops.attention import masked_attention
+
+            if quantized:
+                entries = quantize_chunk(k, v, cfg.kv_quant, True)
+                kk_ = kk_.at[li, slot_ids[:, None], :, :, wpos_safe].set(
+                    entries.k.transpose(0, 3, 1, 2), mode="drop"
+                )
+                vv_ = vv_.at[li, slot_ids[:, None], :, :, wpos_safe].set(
+                    entries.k_scales.transpose(0, 3, 1, 2).astype(vv_.dtype),
+                    mode="drop",
+                )
+                lkv = LayerKV(
+                    k=lax.dynamic_index_in_dim(kk_, li, 0, keepdims=False),
+                    k_scales=lax.dynamic_index_in_dim(vv_, li, 0, keepdims=False),
+                )
+                kc, vc = read_kv(lkv, y.dtype, cfg.kv_quant.bits)
+            else:
+                kk_ = kk_.at[li, slot_ids[:, None], :, wpos_safe].set(
+                    k.transpose(0, 2, 1, 3).astype(kk_.dtype), mode="drop"
+                )
+                vv_ = vv_.at[li, slot_ids[:, None], :, wpos_safe].set(
+                    v.transpose(0, 2, 1, 3).astype(vv_.dtype), mode="drop"
+                )
+                kc = lax.dynamic_index_in_dim(kk_, li, 0, keepdims=False).astype(y.dtype)
+                vc = lax.dynamic_index_in_dim(vv_, li, 0, keepdims=False).astype(y.dtype)
+            o = masked_attention(q, kc, vc, allowed, scale)
+            o = o.transpose(0, 2, 1, 3).reshape(s, kk1, -1)
+            y = y + phi3._dense_at(
+                lp, heavy, ("self_attn", "o_proj"), o, li
+            ).astype(y.dtype)
+            hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+            gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            y = y + phi3._dense_at(
+                lp, heavy, ("mlp", "down_proj"), ff, li
+            ).astype(y.dtype)
+            return (y, kk_, vv_), None
+
+        (x, kv_k, kv_v), _ = lax.scan(
+            body, (x, kv_k, kv_v), (light, jnp.arange(cfg.num_hidden_layers))
+        )
+        x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+        logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+        lg = logits.astype(jnp.float32)  # (S, kk1, V)
+        lp_all = jax.nn.log_softmax(lg, axis=-1)
+        out = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (S, kk1)
+        match = (draft == out[:, :-1]).astype(jnp.int32)
+        acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (S,)
+        n_emit = jnp.where(live, acc + 1, 0)
+
+        new_valid = valid | (
+            (key_pos[None, :] >= offsets[:, None])
+            & (key_pos[None, :] < (offsets + n_emit)[:, None])
+        )
+        new_offsets = offsets + n_emit
+        new_tok = jnp.where(live, out[slot_ids, acc], tok)
+        stats = (out, lp_all.max(axis=-1), lp_all[..., eos_id], n_emit)
+        return (new_tok, new_offsets, new_valid, kv_k, kv_v, buf), stats
+
+    carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v, st.buf)
+    (tok_f, off_f, valid_f, kv_k, kv_v, buf_f), (toks, maxlp, eoslp, n_emits) = (
+        lax.scan(one_pass, carry0, jnp.arange(n_passes))
+    )
+    return toks, maxlp, eoslp, n_emits, SlotState(
+        kv_k=kv_k, kv_v=kv_v, offsets=off_f, pads=st.pads, valid=valid_f,
+        cos=st.cos, sin=st.sin, tokens=tok_f, buf=buf_f,
     )
 
 
 def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
-           n_pads):
+           n_pads, prompt_row=None):
     """Copy a freshly prefilled request's cache into ``slot``.
 
     src_state: the single-request DecodeState from run_prefill (batch 1,
     window >= l_pad).  Static ``l_pad`` keeps the copy shape compiled.
+    ``prompt_row``: optional (l_pad,) int32 padded prompt ids — seeds the
+    slot's token-history buffer for the speculative draft proposer.
     """
     if cfg.use_quantized_cache:
         # quantized layout keeps L last: copy payload + scale-plane columns
@@ -254,9 +403,16 @@ def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
     offsets = st.offsets.at[slot].set(jnp.asarray(l_pad, jnp.int32))
     pads = st.pads.at[slot].set(jnp.asarray(n_pads, jnp.int32))
     tokens = st.tokens.at[slot].set(last_token)
+    buf = st.buf
+    if prompt_row is not None:
+        buf = lax.dynamic_update_slice(
+            buf, prompt_row.astype(jnp.int32)[None], (slot, 0)
+        )
     # cos/sin stay: every slot uses the window-global su-rope tables (submit
     # pins the prefill window to the serving window, so regimes agree).
-    return SlotState(kv_k, kv_v, offsets, pads, valid, st.cos, st.sin, tokens)
+    return SlotState(
+        kv_k, kv_v, offsets, pads, valid, st.cos, st.sin, tokens, buf=buf
+    )
 
 
 @dataclass
@@ -313,7 +469,7 @@ class BatchEngine:
     """
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
-                 seed: int = 0):
+                 seed: int = 0, spec_k: int = 0):
         from .engine import LM  # noqa: F401  (type only)
 
         self.lm = lm
@@ -321,7 +477,14 @@ class BatchEngine:
         self.slots = slots
         if window % 128:
             raise ValueError("window must be a multiple of 128 (engine bucketing)")
+        if not 0 <= spec_k <= 32:
+            raise ValueError("spec_k must be in [0, 32]")
         self.window = window
+        # spec_k > 0: per-slot prompt-lookup speculative decoding — each
+        # chunk step verifies K drafts per slot (greedy requests only; a
+        # chunk with any sampling request falls back to the vanilla step).
+        self.spec_k = spec_k
+        self.spec_stats = {"passes": 0, "emitted": 0}
         self.state = self._init_state()
         self.free: List[int] = list(range(slots))
         self.requests: Dict[int, _Request] = {}
@@ -380,14 +543,18 @@ class BatchEngine:
         if p.l_pad not in self._adopt_fns:
             cfg = self.lm.cfg
             self._adopt_fns[p.l_pad] = jax.jit(
-                lambda t, slot, src, tok, pads, _l=p.l_pad: _adopt(
-                    cfg, SlotState.from_tree(t), slot, src, tok, _l, pads
+                lambda t, slot, src, tok, pads, prow, _l=p.l_pad: _adopt(
+                    cfg, SlotState.from_tree(t), slot, src, tok, _l, pads,
+                    prompt_row=prow,
                 ).tree()
             )
+        prow = np.zeros((p.l_pad,), np.int32)
+        prow[p.n_pads:] = np.maximum(np.asarray(p.prompt_ids, np.int32), 0)
         self.state = SlotState.from_tree(
             self._adopt_fns[p.l_pad](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
                 jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
+                jnp.asarray(prow),
             )
         )
 
@@ -461,11 +628,14 @@ class BatchEngine:
 
         Returns {rid: [tokens...]} (EOS/max_tokens-trimmed).  Requests join
         and complete at chunk boundaries; a slot finishing mid-chunk wastes
-        the chunk remainder only.
+        the chunk remainder only.  With ``spec_k`` set and an all-greedy
+        batch, each step is a speculative verify pass (1..K+1 tokens/slot).
         """
         if not self.by_slot:
             return {}
         temps, tops = self._sampling_vectors()
+        if self.spec_k and temps is None:
+            return self._step_spec(n_steps)
         sampling = temps is not None
         fkey = (n_steps, sampling)
         if fkey not in self._step_fns:
@@ -520,6 +690,67 @@ class BatchEngine:
                     self.free.append(slot)
                     self._on_slot_freed(slot)
                     break
+        return out
+
+    def _step_spec(self, n_passes: int) -> Dict[int, List[int]]:
+        """Speculative chunk: ``n_passes`` verify passes in one dispatch."""
+        fkey = ("spec", n_passes, self.spec_k)
+        if fkey not in self._step_fns:
+            cfg, eos_id = self.lm.cfg, self.lm.eos_id
+
+            def f(params, tree, active, _n=n_passes, _k=self.spec_k):
+                toks, maxlp, eoslp, n_emits, st = _spec_decode_chunk(
+                    params, cfg, SlotState.from_tree(tree), active, _n, _k,
+                    eos_id=eos_id,
+                )
+                return toks, maxlp, eoslp, n_emits, st.tree()
+
+            self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
+        active = np.zeros((self.slots,), bool)
+        for slot in self.by_slot:
+            active[slot] = True
+        self._chunk_i += 1
+        toks, maxlp, eoslp, n_emits, tree = self._step_fns[fkey](
+            self.lm.params, self.state.tree(), jnp.asarray(active)
+        )
+        self.state = SlotState.from_tree(tree)
+        toks, maxlp, eoslp, n_emits = jax.device_get(
+            (toks, maxlp, eoslp, n_emits)
+        )  # toks: (n_passes, S, K+1)
+        out: Dict[int, List[int]] = {}
+        for slot, req in list(self.by_slot.items()):
+            emitted = out.setdefault(req.rid, [])
+            done = False
+            any_emitted = False
+            for i in range(n_passes):
+                m = int(n_emits[i, slot])
+                if m:
+                    any_emitted = True
+                    self.spec_stats["passes"] += 1
+                    self.spec_stats["emitted"] += m
+                for p in range(m):
+                    tok = int(toks[i, slot, p])
+                    req.tokens.append(tok)
+                    emitted.append(tok)
+                    early = req.stopper is not None and req.stopper.update(
+                        float(maxlp[i, slot, p]), float(eoslp[i, slot, p]), 1
+                    )
+                    if (
+                        early
+                        or tok == self.lm.eos_id
+                        or len(req.tokens) >= req.max_tokens
+                    ):
+                        done = True
+                        break
+                if done:
+                    break
+            # A live slot always emits >= 1 token per pass, so a zero-token
+            # chunk means the window cannot absorb another worst-case pass.
+            if done or not any_emitted:
+                req.done = True
+                del self.by_slot[slot]
+                self.free.append(slot)
+                self._on_slot_freed(slot)
         return out
 
     def _on_slot_freed(self, slot: int) -> None:

@@ -46,7 +46,8 @@ def propose_drafts(buf, valid, tok, off, k_draft: int):
     buf: (B, W) int32 token history (slot p = token at cache column p).
     valid: (B, W) bool key validity (False at left-pad columns).
     tok: (B, 1) the pending token (input of the next decode step).
-    off: () int32 committed offset.
+    off: () or (B,) int32 committed offset(s) — the slot engines pass a
+    per-row vector (engine/batching.py), the single-stream engine a scalar.
 
     Finds the most recent position j whose trailing n-gram (n = 3, then 2,
     then 1) matches the sequence ending at ``tok`` and returns the K tokens
@@ -55,8 +56,9 @@ def propose_drafts(buf, valid, tok, off, k_draft: int):
     """
     b, w = buf.shape
     idx = jnp.arange(w, dtype=jnp.int32)
+    off = jnp.broadcast_to(jnp.asarray(off, jnp.int32), (b,))
     # j must leave at least one committed continuation token: j <= off - 2.
-    committed = valid & (idx[None, :] <= off - 2)
+    committed = valid & (idx[None, :] <= off[:, None] - 2)
     t0 = tok[:, 0]
     rows = jnp.arange(b)
     prev1 = buf[rows, jnp.maximum(off - 1, 0)]
@@ -78,7 +80,7 @@ def propose_drafts(buf, valid, tok, off, k_draft: int):
     pos = jnp.clip(
         base[:, None] + jnp.arange(k_draft, dtype=jnp.int32)[None, :],
         0,
-        jnp.maximum(off - 1, 0),
+        jnp.maximum(off - 1, 0)[:, None],
     )
     # Clamp ids at 0: vision prompts keep negative placeholder ids in the
     # history buffer (their cache columns hold image embeddings); they must

@@ -171,6 +171,7 @@ def serve(
     slots: int = 4,
     window: int = 1024,
     paged: bool = False,
+    spec_k: int = 0,
     **load_kwargs,
 ):
     from ..api import load
@@ -179,8 +180,14 @@ def serve(
     if continuous:
         from http.server import ThreadingHTTPServer
 
+        engine_kw = {}
+        if spec_k:
+            if paged:
+                raise ValueError("--spec-k requires the contiguous engine "
+                                 "(drop --paged)")
+            engine_kw["spec_k"] = spec_k
         scheduler = ContinuousScheduler(
-            *preload, slots=slots, window=window, paged=paged
+            *preload, slots=slots, window=window, paged=paged, **engine_kw
         )
         httpd = ThreadingHTTPServer((host, port), make_continuous_handler(scheduler))
         print(
@@ -207,8 +214,12 @@ if __name__ == "__main__":
     ap.add_argument("--window", type=int, default=1024)
     ap.add_argument("--paged", action="store_true",
                     help="page-pool KV (engine/paging.py)")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="per-slot speculative decoding: verify K "
+                         "prompt-lookup drafts per step (greedy chunks only)")
     a = ap.parse_args()
     serve(
         a.host, a.port, blind_model=a.blind, quantize_model=a.quantize,
         continuous=a.continuous, slots=a.slots, window=a.window, paged=a.paged,
+        spec_k=a.spec_k,
     )

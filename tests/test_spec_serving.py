@@ -1,0 +1,134 @@
+"""Per-slot speculative decoding in the continuous-batching engine
+(engine/batching.py:_spec_decode_chunk).
+
+Contract: with ``spec_k > 0`` every chunk step is a verify pass emitting
+1..K+1 tokens per slot, and each request's token stream is BIT-IDENTICAL
+to the vanilla engine's (which test_batching.py anchors to single-stream
+decoding).
+"""
+
+import numpy as np
+import pytest
+
+from phi_3_vision_mlx_tpu.api import _load
+from phi_3_vision_mlx_tpu.core import weights as W
+from phi_3_vision_mlx_tpu.engine.batching import BatchEngine
+
+VOCAB = 32064
+
+PROMPTS = [
+    "Tell me about the sea.",
+    "tick tock tick tock tick tock",
+    "Write a poem in winter.",
+]
+
+
+@pytest.fixture(scope="module")
+def lmproc(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("models") / "tiny_spec")
+    W.create_random_checkpoint(path, "tiny", vocab_size=VOCAB)
+    return _load(path)
+
+
+def _run(eng, prompts, max_tokens=14, n_steps=2, stagger=False, **submit_kw):
+    rids = []
+    if stagger:
+        rids.append(eng.submit(prompts[0], max_tokens=max_tokens, **submit_kw))
+        eng.step(n_steps)
+        for p in prompts[1:]:
+            rids.append(eng.submit(p, max_tokens=max_tokens, **submit_kw))
+    else:
+        rids = [
+            eng.submit(p, max_tokens=max_tokens, **submit_kw) for p in prompts
+        ]
+    for _ in range(300):
+        if not eng.pending():
+            break
+        eng.step(n_steps)
+    assert not eng.pending()
+    return [eng.tokens(r) for r in rids]
+
+
+def test_spec_matches_vanilla_dense(lmproc):
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=3, window=128), PROMPTS)
+    spec_eng = BatchEngine(lm, proc, slots=3, window=128, spec_k=7)
+    spec = _run(spec_eng, PROMPTS)
+    assert spec == base
+    st = spec_eng.spec_stats
+    assert st["emitted"] >= st["passes"] > 0
+
+
+def test_spec_matches_vanilla_quantized_cache(lmproc):
+    lm, proc = lmproc
+    lm = type(lm)(lm.cfg.replace(use_quantized_cache=True), lm.params)
+    base = _run(BatchEngine(lm, proc, slots=2, window=128), PROMPTS[:2])
+    spec = _run(
+        BatchEngine(lm, proc, slots=2, window=128, spec_k=5), PROMPTS[:2]
+    )
+    assert spec == base
+
+
+def test_spec_staggered_admission(lmproc):
+    """A request admitted mid-decode joins speculative chunks cleanly."""
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=2, window=128), PROMPTS[:2],
+                stagger=True)
+    spec = _run(BatchEngine(lm, proc, slots=2, window=128, spec_k=7),
+                PROMPTS[:2], stagger=True)
+    assert spec == base
+
+
+def test_spec_sampling_chunk_falls_back(lmproc):
+    """A chunk containing a sampling request uses the vanilla step; the
+    greedy request's stream must still be exact."""
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=1, window=128), [PROMPTS[0]])
+    eng = BatchEngine(lm, proc, slots=2, window=128, spec_k=7, seed=7)
+    rg = eng.submit(PROMPTS[0], max_tokens=14)
+    rs = eng.submit(PROMPTS[2], max_tokens=14, temperature=0.8, top_p=0.9)
+    for _ in range(300):
+        if not eng.pending():
+            break
+        eng.step(2)
+    assert eng.tokens(rg) == base[0]
+    assert eng.spec_stats["passes"] == 0  # all chunks had a sampling row
+    assert len(eng.tokens(rs)) > 0
+
+
+def test_spec_window_blocked_finalizes(lmproc):
+    """A slot whose window cannot absorb a worst-case pass stops cleanly
+    with a prefix of the vanilla stream (no error, slot freed)."""
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=1, window=128), [PROMPTS[0]],
+                max_tokens=80)
+    eng = BatchEngine(lm, proc, slots=1, window=128, spec_k=7)
+    [spec] = _run(eng, [PROMPTS[0]], max_tokens=80)
+    assert spec == base[0][: len(spec)]
+    assert len(spec) >= len(base[0]) - 8  # blocked at most K+1 short
+    assert eng.free == [0]
+
+
+def test_spec_acceptance_tiny_vocab():
+    """On a small-vocab model greedy generation cycles; the engine must
+    then emit >1 token per verify pass, still matching vanilla."""
+    import jax
+
+    from phi_3_vision_mlx_tpu.core.config import preset
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.models import phi3
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+
+    cfg = preset("tiny")  # vocab 512
+    params = phi3.init_params(cfg, jax.random.PRNGKey(3))
+    lm = LM(cfg, params)
+    proc = Phi3Processor(tokenizer=ByteTokenizer())
+    prompts = ["abab", "cdcd"]
+    base = _run(BatchEngine(lm, proc, slots=2, window=256), prompts,
+                max_tokens=120, n_steps=8)
+    eng = BatchEngine(lm, proc, slots=2, window=256, spec_k=7)
+    spec = _run(eng, prompts, max_tokens=120, n_steps=8)
+    assert spec == base
+    st = eng.spec_stats
+    assert st["emitted"] / max(st["passes"], 1) > 1.2, st
