@@ -349,6 +349,77 @@ def serve():
     }
 
 
+def serve_spec():
+    """Per-slot speculative decoding in the continuous-batching engine.
+
+    Same bracketing as ``spec``: the ceiling model (constant-argmax
+    lm_head) makes every slot's drafts accept, measuring the machinery's
+    upper bound at serving batch sizes; vanilla slot decode on the same
+    weights is the baseline.
+    """
+    import time as _t
+
+    from bench import synth_quantized_params
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.engine.batching import BatchEngine
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+
+    cfg = preset("phi35_mini").replace(
+        quantized=QuantConfig(
+            group_size=64, bits=4, mode=os.environ["BENCH_QUANT_MODE"]
+        )
+    )
+    params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    params["lm_head"]["scales"] = params["lm_head"]["scales"] * 0
+    if jax.default_backend() == "tpu":
+        from phi_3_vision_mlx_tpu.core.weights import kernelize_params
+
+        params = kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    lm = LM(cfg, params)
+    proc = Phi3Processor(tokenizer=ByteTokenizer())
+
+    def run(spec_k, chunk):
+        eng = BatchEngine(lm, proc, slots=4, window=512, spec_k=spec_k)
+        r0 = eng.submit("warmup", max_tokens=8)
+        while eng.pending():
+            eng.step(chunk)
+        rids = []
+        submits = [
+            (f"Request {i}: tell a story about topic {i}.", 128 + 32 * (i % 4))
+            for i in range(8)
+        ]
+        t0 = _t.perf_counter()
+        while submits or eng.pending():
+            if submits and eng.free:
+                prompt, n = submits.pop(0)
+                rids.append(eng.submit(prompt, max_tokens=n))
+            if eng.pending():
+                eng.step(chunk)
+        dt = _t.perf_counter() - t0
+        total = sum(len(eng.requests[r].tokens) for r in rids)
+        return total / dt, eng.spec_stats
+
+    base_tps, _ = run(0, 16)
+    spec_tps, stats = run(7, 16)
+    per_pass = (
+        round(stats["emitted"] / stats["passes"], 2) if stats["passes"] else None
+    )
+    return {
+        "metric": "serving_spec_aggregate_tps_ceiling",
+        "value": round(spec_tps, 2),
+        "unit": "tok/s aggregate",
+        "vanilla_same_weights": round(base_tps, 2),
+        "speedup": round(spec_tps / base_tps, 2),
+        "tokens_per_pass": per_pass,
+        "note": "4 slots, 8 staggered requests, spec_k=7, ceiling model "
+                "(all drafts accept); real-text acceptance is "
+                "workload-dependent",
+    }
+
+
 def chat():
     """Interactive serving profile: adaptive chunk ramp (8 -> 256), first-token
     latency + decode-chunk latency percentiles (utils.profiler.StepTimer)."""
@@ -389,7 +460,7 @@ ALL = {
     "single": single, "batch15": batch15, "dense8k": dense8k,
     "quant8k": quant8k, "quant32k": quant32k, "quant48k": quant48k,
     "prefill32k": prefill32k, "vqa": vqa, "chat": chat, "serve": serve,
-    "spec": spec,
+    "spec": spec, "serve_spec": serve_spec,
 }
 EXTRA = {"quant64k": quant64k}  # needs a full chip's HBM
 ALL_RUNNABLE = {**ALL, **EXTRA}

@@ -33,6 +33,15 @@ def demo_generate():
         blind_model=True,
         max_tokens=48,
     )
+    # prompt-lookup speculative decoding: bit-identical greedy output,
+    # up to K+1 tokens per weight pass on echo-heavy prompts
+    pv.generate(
+        "Summarize: the lighthouse keeper kept the light. The lighthouse "
+        "keeper kept the light burning all night.",
+        blind_model=True,
+        max_tokens=48,
+        speculative=True,
+    )
 
 
 def demo_constrain():
