@@ -485,6 +485,10 @@ class BatchEngine:
         # chunk with any sampling request falls back to the vanilla step).
         self.spec_k = spec_k
         self.spec_stats = {"passes": 0, "emitted": 0}
+        # Slots whose window is too tight for a worst-case verify pass;
+        # while any is active the engine steps vanilla so their tails emit
+        # exactly the non-speculative stream (they leave the set when freed).
+        self._tail_slots: set = set()
         self.state = self._init_state()
         self.free: List[int] = list(range(slots))
         self.requests: Dict[int, _Request] = {}
@@ -569,6 +573,9 @@ class BatchEngine:
             self._adopt_prepared(p, slot)
         except Exception:
             self.free.append(slot)
+            # release any per-slot resources a subclass already attached
+            # (e.g. the paged engine's freshly allocated pages)
+            self._on_slot_freed(slot)
             raise
         if p.rid >= 0:
             rid = p.rid  # preemption resume keeps the original request
@@ -634,7 +641,8 @@ class BatchEngine:
         if not self.by_slot:
             return {}
         temps, tops = self._sampling_vectors()
-        if self.spec_k and temps is None:
+        self._tail_slots &= set(self.by_slot)
+        if self.spec_k and temps is None and not self._tail_slots:
             return self._step_spec(n_steps)
         sampling = temps is not None
         fkey = (n_steps, sampling)
@@ -744,13 +752,18 @@ class BatchEngine:
                         break
                 if done:
                     break
-            # A live slot always emits >= 1 token per pass, so a zero-token
-            # chunk means the window cannot absorb another worst-case pass.
-            if done or not any_emitted:
+            if done:
                 req.done = True
                 del self.by_slot[slot]
                 self.free.append(slot)
                 self._on_slot_freed(slot)
+            elif not any_emitted:
+                # A live slot always emits >= 1 token per pass, so a
+                # zero-token chunk means the window cannot absorb another
+                # worst-case pass: decode this slot's tail through the
+                # vanilla step so its stream stays bit-identical (step()
+                # switches paths while any tail slot is active).
+                self._tail_slots.add(slot)
         return out
 
     def _on_slot_freed(self, slot: int) -> None:

@@ -387,8 +387,21 @@ class PagedBatchEngine(BatchEngine):
     # -- admission ----------------------------------------------------------
 
     def can_admit(self, prepared) -> bool:
-        return bool(self.free) and (
-            -(-prepared.l_pad // self.page_size) <= len(self._free_pages)
+        n_pages = -(-prepared.l_pad // self.page_size)
+        if n_pages > self.pool_pages:
+            # Structurally impossible: no amount of waiting frees more than
+            # the whole pool.  Raise instead of returning False forever —
+            # a scheduler looping on can_admit() would hang its caller.
+            raise ValueError(
+                f"prompt needs {n_pages} pages; the pool has only "
+                f"{self.pool_pages} (pool_pages)"
+            )
+        # Preempted requests get resume priority: new admissions would
+        # otherwise consume every freed slot/page and starve the queue.
+        return (
+            bool(self.free)
+            and not self.preempted
+            and n_pages <= len(self._free_pages)
         )
 
     def _adopt_prepared(self, p, slot: int) -> None:
@@ -437,48 +450,92 @@ class PagedBatchEngine(BatchEngine):
         req.error = message
         req.done = True
 
-    def _try_resume(self) -> None:
-        """Re-admit preempted requests (oldest first) once a slot + enough
-        pages are free.  Resume = re-prefill prompt + generated-so-far (the
-        pending last token is re-seeded, not re-sampled), which reproduces
-        the evicted cache exactly: rope positions continue from the true
-        length and the quantized cache's groups are per-position."""
-        from .batching import _Prepared
-        from .engine import round_up, run_prefill
+    def _resume_shape(self, req):
+        """(l, l_pad, n_pages) of the recompute prefill for ``req``."""
+        from .engine import round_up
 
-        while self.preempted and self.free:
+        l = len(req.prompt_ids) + len(req.tokens) - 1
+        l_pad = max(round_up(l, 64), 64)
+        return l, l_pad, -(-l_pad // self.page_size)
+
+    def resume_candidate(self):
+        """Oldest preempted rid whose resume is feasible *right now*, or
+        None.  Cheap (no device work) — run under the scheduler lock.
+        Structurally impossible requests are failed and dropped here."""
+        while self.preempted:
             rid = self.preempted[0]
             req = self.requests[rid]
-            ids = req.prompt_ids + req.tokens[:-1]
-            l = len(ids)
-            l_pad = max(round_up(l, 64), 64)
+            _, l_pad, n_pages = self._resume_shape(req)
             if l_pad >= self.window:
                 self.preempted.pop(0)
                 self._fail_request(
                     req, f"cannot resume: prompt+generated ({l_pad}) fills "
                          f"window {self.window}")
                 continue
-            n_pages = -(-l_pad // self.page_size)
             if n_pages > self.pool_pages:
                 self.preempted.pop(0)
                 self._fail_request(
                     req, f"cannot resume: needs {n_pages} pages, pool has "
                          f"{self.pool_pages}")
                 continue
-            if n_pages > len(self._free_pages):
-                break  # wait for running requests to release pages
-            logits, src_state, l_pad2, _ = run_prefill(
-                self.lm, {"input_ids": np.asarray([ids], np.int32)},
-                max_tokens=self.window - l_pad,
-            )
-            assert l_pad2 == l_pad, (l_pad2, l_pad)
-            self.preempted.pop(0)
-            self.admit(_Prepared(
-                src_state=src_state, first=req.tokens[-1], l_pad=l_pad,
-                n_pads=l_pad - l, prompt_ids=req.prompt_ids,
-                max_tokens=req.max_tokens, temperature=req.temperature,
-                top_p=req.top_p, rid=rid,
-            ))
+            if not self.free or n_pages > len(self._free_pages):
+                return None  # wait for running requests to release resources
+            return rid
+        return None
+
+    def prepare_resume(self, rid):
+        """The heavy recompute prefill for a preempted request — touches NO
+        engine state, so a scheduler can run it OUTSIDE its lock while the
+        pump keeps stepping active slots (same as admission's prepare()).
+
+        Resume = re-prefill prompt + generated-so-far (the pending last
+        token is re-seeded, not re-sampled), which reproduces the evicted
+        cache exactly: rope positions continue from the true length and the
+        quantized cache's groups are per-position."""
+        from .batching import _Prepared
+        from .engine import run_prefill
+
+        req = self.requests[rid]
+        ids = req.prompt_ids + req.tokens[:-1]
+        l, l_pad, _ = self._resume_shape(req)
+        logits, src_state, l_pad2, _ = run_prefill(
+            self.lm, {"input_ids": np.asarray([ids], np.int32)},
+            max_tokens=self.window - l_pad,
+        )
+        assert l_pad2 == l_pad, (l_pad2, l_pad)
+        return _Prepared(
+            src_state=src_state, first=req.tokens[-1], l_pad=l_pad,
+            n_pads=l_pad - l, prompt_ids=req.prompt_ids,
+            max_tokens=req.max_tokens, temperature=req.temperature,
+            top_p=req.top_p, rid=rid,
+        )
+
+    def admit_resume(self, prepared) -> bool:
+        """Admit a prepared resume if it is still the queue head and still
+        feasible; False leaves it queued (the prefill is discarded — rare,
+        only when resources vanished between prepare and admit)."""
+        if not self.preempted or self.preempted[0] != prepared.rid:
+            return False
+        req = self.requests[prepared.rid]
+        _, _, n_pages = self._resume_shape(req)
+        if not self.free or n_pages > len(self._free_pages):
+            return False
+        self.preempted.pop(0)
+        self.admit(prepared)
+        return True
+
+    def _try_resume(self) -> None:
+        """In-step resume for direct step() users.  A scheduler that manages
+        resumes itself (prefill outside its lock) sets ``resume_in_step``
+        False to disable this path."""
+        if not getattr(self, "resume_in_step", True):
+            return
+        while True:
+            rid = self.resume_candidate()
+            if rid is None:
+                break
+            if not self.admit_resume(self.prepare_resume(rid)):
+                break
 
     # -- decode -------------------------------------------------------------
 

@@ -332,12 +332,9 @@ def device_image_features_raw(vparams, vcfg: ClipVisionConfig,
     )
     if plan["trans"]:
         padded = padded.transpose(1, 0, 2)
-    x_hwc = (padded * (1.0 / 255.0) - jnp.asarray(
-        [0.48145466, 0.4578275, 0.40821073], jnp.float32
-    )) * (1.0 / jnp.asarray(
-        [0.26862954, 0.26130258, 0.27577711], jnp.float32
-    ))
-    return _features_from_hd(vparams, vcfg, image_dim_out, x_hwc, grid_h, grid_w)
+    return _features_from_hd(
+        vparams, vcfg, image_dim_out, _normalize_u8(padded), grid_h, grid_w
+    )
 
 
 def compute_inputs_embeds(params: dict, cfg: ModelConfig, dict_input: dict):

@@ -86,6 +86,10 @@ class ContinuousScheduler:
             from ..engine.batching import BatchEngine as Engine
 
         self.engine = Engine(lm, processor, slots=slots, window=window, **engine_kw)
+        # The scheduler manages preemption resumes itself so the recompute
+        # prefill runs OUTSIDE the lock (engine.step would otherwise do it
+        # in-lock, stalling admissions and result pickup for its duration).
+        self.engine.resume_in_step = False
         self._cv = threading.Condition()
         threading.Thread(target=self._pump, daemon=True).start()
 
@@ -114,8 +118,32 @@ class ContinuousScheduler:
             with self._cv:
                 while not self.engine.pending():
                     self._cv.wait()
+                rid = getattr(self.engine, "resume_candidate", lambda: None)()
+            prepared = None
+            if rid is not None:
+                # Recompute prefill for a preempted request — outside the
+                # lock, exactly like admission's prepare().
                 try:
-                    self.engine.step(chunk)
+                    prepared = self.engine.prepare_resume(rid)
+                except Exception as e:
+                    with self._cv:
+                        req = self.engine.requests.get(rid)
+                        if req is not None:
+                            self.engine._fail_request(
+                                req, f"{type(e).__name__}: {e}"
+                            )
+                        if (
+                            self.engine.preempted
+                            and self.engine.preempted[0] == rid
+                        ):
+                            self.engine.preempted.pop(0)
+                        self._cv.notify_all()
+            with self._cv:
+                try:
+                    if prepared is not None:
+                        self.engine.admit_resume(prepared)
+                    if self.engine.by_slot:
+                        self.engine.step(chunk)
                 except Exception as e:  # fail owners, keep the pump alive
                     self.engine.fail_all_active(f"{type(e).__name__}: {e}")
                 self._cv.notify_all()

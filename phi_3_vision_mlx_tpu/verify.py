@@ -294,13 +294,26 @@ def run_cfg5(args) -> dict:
     from .engine.engine import LM
 
     lm_q = LM(lm.cfg.replace(use_quantized_cache=True), lm.params)
+    # Size the prompt in TOKENS, not characters: a real SentencePiece
+    # tokenizer compresses the filler ~8:1, so a character-sized prompt
+    # would silently exercise a far smaller window than recorded.
     filler = ("The lighthouse keeper wrote: " + "x" * 50)
-    long_prompt = (filler * (args.long_window // 20))[: args.long_window - 192]
+    target = args.long_window - 192
+    long_prompt = filler * (target // 20)
+    n_tok = len(proc(long_prompt)["input_ids"][0])
+    while n_tok < target:
+        long_prompt += filler * max((target - n_tok) // 10, 1)
+        n_tok = len(proc(long_prompt)["input_ids"][0])
+    while n_tok > target:  # trim by characters, re-measure
+        excess = n_tok - target
+        long_prompt = long_prompt[: -max(excess, 1)]
+        n_tok = len(proc(long_prompt)["input_ids"][0])
     tokens, _ = _greedy_tokens(lm_q, proc, long_prompt, 32)
     return {
         "cases": [{
             "chosen": chosen,
             "long_window": args.long_window,
+            "long_prompt_tokens": n_tok,
             "long_tokens": tokens,
         }],
         "scores": {

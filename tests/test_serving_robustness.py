@@ -123,6 +123,59 @@ def test_scheduler_survives_saturation_threads(lmproc):
         assert isinstance(results[p], str)
 
 
+def test_impossible_prompt_raises_not_hangs(lmproc):
+    """A prompt needing more pages than the WHOLE pool must raise from
+    can_admit (a scheduler looping on it would otherwise hang its caller
+    forever) — and from submit()'s direct admission path."""
+    lm, proc = lmproc
+    eng = PagedBatchEngine(lm, proc, slots=1, window=256, page_size=64,
+                           pool_pages=1)
+    prepared = eng.prepare("word " * 20, max_tokens=8)  # ~128 cols: 2 pages
+    with pytest.raises(ValueError, match="pool"):
+        eng.can_admit(prepared)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        eng.admit(prepared)
+    assert len(eng._free_pages) == eng.pool_pages
+    assert eng.free == [0]
+
+
+def test_preempted_requests_have_resume_priority(lmproc):
+    """While the preempted queue is non-empty, can_admit refuses new
+    requests so freed slots/pages go to resumes first."""
+    lm, proc = lmproc
+    eng = PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                           pool_pages=5)
+    ra = eng.submit("Priority test request A.", max_tokens=50)
+    rb = eng.submit("Priority test request B!", max_tokens=50)
+    newcomer = eng.prepare("Newcomer request.", max_tokens=8)
+    saw_block = False
+    for _ in range(300):
+        if not eng.pending():
+            break
+        eng.step()
+        if eng.preempted:
+            assert not eng.can_admit(newcomer)
+            saw_block = True
+    assert saw_block, "pool never saturated; test misconfigured"
+    assert eng.tokens(ra) and eng.tokens(rb)
+    assert eng.can_admit(newcomer)  # queue drained -> admission reopens
+
+
+def test_failed_adoption_releases_pages(lmproc):
+    """If the device adoption call raises, the slot AND its freshly
+    allocated pages must return to the pool."""
+    lm, proc = lmproc
+    eng = PagedBatchEngine(lm, proc, slots=1, window=128, page_size=32,
+                           pool_pages=4)
+    prepared = eng.prepare("Adoption failure test.", max_tokens=8)
+    prepared.src_state = None  # poison: the jitted adopt call will raise
+    with pytest.raises(Exception):
+        eng.admit(prepared)
+    assert eng.free == [0]
+    assert len(eng._free_pages) == eng.pool_pages
+    assert eng._slot_pages == {}
+
+
 def test_pump_survives_engine_error(lmproc):
     """An exception out of engine.step fails the owning request (surfaced to
     its caller) but the pump keeps serving later requests."""

@@ -96,16 +96,15 @@ def test_spec_sampling_chunk_falls_back(lmproc):
     assert len(eng.tokens(rs)) > 0
 
 
-def test_spec_window_blocked_finalizes(lmproc):
-    """A slot whose window cannot absorb a worst-case pass stops cleanly
-    with a prefix of the vanilla stream (no error, slot freed)."""
+def test_spec_window_tail_matches_vanilla(lmproc):
+    """A slot whose window gets too tight for a verify pass must finish its
+    tail through the vanilla step — the full stream stays bit-identical."""
     lm, proc = lmproc
     base = _run(BatchEngine(lm, proc, slots=1, window=128), [PROMPTS[0]],
                 max_tokens=80)
     eng = BatchEngine(lm, proc, slots=1, window=128, spec_k=7)
     [spec] = _run(eng, [PROMPTS[0]], max_tokens=80)
-    assert spec == base[0][: len(spec)]
-    assert len(spec) >= len(base[0]) - 8  # blocked at most K+1 short
+    assert spec == base[0]
     assert eng.free == [0]
 
 
