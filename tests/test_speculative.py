@@ -144,6 +144,31 @@ def test_spec_tail_falls_back_cleanly(ckpt, monkeypatch):
     assert spec == base
 
 
+@pytest.mark.slow
+def test_spec_matches_vanilla_vision_prompt(tmp_path, monkeypatch):
+    """Vision prompts keep negative placeholder ids in the history buffer;
+    drafts must clamp them away and the stream must stay exact."""
+    from PIL import Image
+
+    from phi_3_vision_mlx_tpu.models.image_processor import Phi3VImageProcessor
+
+    _spec_env(monkeypatch)
+    path = str(tmp_path / "tiny_v")
+    W.create_random_checkpoint(path, "tiny_vision", vocab_size=VOCAB)
+    lm, proc = _load(path)
+    proc.img_processor = Phi3VImageProcessor(num_crops=4)  # CPU-speed config
+    img = Image.new("RGB", (125, 75), (90, 120, 180))
+
+    def gen(spec):
+        return generate(
+            "What is shown in this image?", images=[img], preload=(lm, proc),
+            max_tokens=20, verbose=False, stream=False, mute=True,
+            speculative=spec,
+        )
+
+    assert gen(True) == gen(False)
+
+
 def test_spec_acceptance_on_looping_generation():
     # Greedy decode from a small-vocab random model settles into a repeating
     # cycle; prompt-lookup must then accept drafts (>1 token per weight
