@@ -241,7 +241,10 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     (prompt-lookup, engine/speculative.py) and verifies them in a single
     (S, K+1) forward; accepted drafts advance that slot's offset by 1..K+1,
     so one weight pass serves up to K+1 tokens *per slot*.  Greedy only;
-    each slot's emitted stream is bit-identical to :func:`_decode_chunk`'s.
+    each slot's emitted stream is bit-identical to :func:`_decode_chunk`'s
+    (on TPU with the int4-quantized cache, identical up to fp-shape noise at
+    quantization boundaries — see paging._paged_spec_decode_chunk's
+    exactness note, which applies to both slot engines).
 
     Slots whose window cannot absorb a worst-case pass go dead (``n_emit``
     0, no writes — the host finalizes them as window-full).  Returns
@@ -454,6 +457,9 @@ class _Prepared:
     top_p: float = 1.0
     early_stop: object = False
     rid: int = -1  # set on resume re-prefills to keep the original rid
+    # the ids actually prefilled (prompt + regenerated tokens on a resume);
+    # seeds the slot's token-history buffer.  None -> prompt_ids.
+    ids: object = None
 
 
 class BatchEngine:
@@ -553,7 +559,8 @@ class BatchEngine:
                 ).tree()
             )
         prow = np.zeros((p.l_pad,), np.int32)
-        prow[p.n_pads:] = np.maximum(np.asarray(p.prompt_ids, np.int32), 0)
+        seed_ids = p.ids if p.ids is not None else p.prompt_ids
+        prow[p.n_pads:] = np.maximum(np.asarray(seed_ids, np.int32), 0)
         self.state = SlotState.from_tree(
             self._adopt_fns[p.l_pad](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
@@ -700,8 +707,8 @@ class BatchEngine:
                     break
         return out
 
-    def _step_spec(self, n_passes: int) -> Dict[int, List[int]]:
-        """Speculative chunk: ``n_passes`` verify passes in one dispatch."""
+    def _spec_fn(self, n_passes: int):
+        """Compiled speculative chunk (subclasses swap the state/step impl)."""
         fkey = ("spec", n_passes, self.spec_k)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
@@ -714,14 +721,19 @@ class BatchEngine:
                 return toks, maxlp, eoslp, n_emits, st.tree()
 
             self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
+        return self._step_fns[fkey]
+
+    def _step_spec(self, n_passes: int) -> Dict[int, List[int]]:
+        """Speculative chunk: ``n_passes`` verify passes in one dispatch."""
+        fn = self._spec_fn(n_passes)
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
         self._chunk_i += 1
-        toks, maxlp, eoslp, n_emits, tree = self._step_fns[fkey](
+        toks, maxlp, eoslp, n_emits, tree = fn(
             self.lm.params, self.state.tree(), jnp.asarray(active)
         )
-        self.state = SlotState.from_tree(tree)
+        self.state = type(self.state).from_tree(tree)
         toks, maxlp, eoslp, n_emits = jax.device_get(
             (toks, maxlp, eoslp, n_emits)
         )  # toks: (n_passes, S, K+1)

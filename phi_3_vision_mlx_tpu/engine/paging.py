@@ -44,7 +44,7 @@ class PagedState:
     """Device-side pool + tables (functional; replaced each step)."""
 
     def __init__(self, pool_k, pool_v, page_tables, offsets, pads, valid, cos,
-                 sin, tokens):
+                 sin, tokens, buf=None):
         self.pool_k = pool_k  # (nl, P, KV, page, D)
         self.pool_v = pool_v
         self.page_tables = page_tables  # (S, max_pages) int32; P = unallocated
@@ -54,10 +54,16 @@ class PagedState:
         self.cos = cos
         self.sin = sin
         self.tokens = tokens
+        # (S, W) token history for the speculative draft proposer
+        # (engine/speculative.py) — performance metadata, never correctness.
+        self.buf = (
+            buf if buf is not None else jnp.zeros(valid.shape, jnp.int32)
+        )
 
     def tree(self):
         return (self.pool_k, self.pool_v, self.page_tables, self.offsets,
-                self.pads, self.valid, self.cos, self.sin, self.tokens)
+                self.pads, self.valid, self.cos, self.sin, self.tokens,
+                self.buf)
 
     @classmethod
     def from_tree(cls, t):
@@ -130,7 +136,11 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
     gather_pt = jnp.minimum(st.page_tables, pool_pages - 1)  # (S, mp)
 
     def one_step(carry, step_i):
-        tok, offsets, valid, pk, pv = carry
+        tok, offsets, valid, pk, pv, buf = carry
+        buf = jnp.where(
+            active[:, None], buf.at[slot_ids, offsets].set(tok, mode="drop"),
+            buf,
+        )
         x = embedding(mdl["embed_tokens"], tok[:, None]).astype(
             jnp.dtype(cfg.dtype)
         )
@@ -262,20 +272,212 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
         new_offsets = jnp.where(active, offsets + 1, offsets)
         new_tok = jnp.where(active, nxt, tok)
         stats = (nxt, lp.max(axis=-1), lp[:, eos_id])
-        return (new_tok, new_offsets, new_valid, pk, pv), stats
+        return (new_tok, new_offsets, new_valid, pk, pv, buf), stats
 
-    carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v)
-    (tok_f, off_f, valid_f, pk, pv), (toks, maxlp, eoslp) = lax.scan(
+    carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v, st.buf)
+    (tok_f, off_f, valid_f, pk, pv, buf_f), (toks, maxlp, eoslp) = lax.scan(
         one_step, carry0, jnp.arange(n_steps)
     )
     return toks, maxlp, eoslp, PagedState(
         pool_k=pk, pool_v=pv, page_tables=st.page_tables, offsets=off_f,
         pads=st.pads, valid=valid_f, cos=st.cos, sin=st.sin, tokens=tok_f,
+        buf=buf_f,
+    )
+
+
+def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
+                             page: int, n_passes: int, k_draft: int,
+                             eos_id: int = 0):
+    """``n_passes`` speculative verify passes over the paged pool — the
+    paged counterpart of batching._spec_decode_chunk.  The host pre-maps
+    every page a worst-case chunk can touch (n_passes * (K+1) columns per
+    slot, PagedBatchEngine.step), so multi-column writes are table lookups;
+    the paged Pallas kernels' fresh-region mask exposes the pass's earlier
+    draft columns causally (ops/kernels/kv_attention.py).
+
+    Exactness note (applies to both slot engines): emitted tokens are always
+    the model's own greedy argmax over the cache it wrote (acceptance
+    compares draft vs argmax within one pass), and streams are bit-identical
+    to the vanilla engine on CPU and for the dense cache on TPU.  With the
+    int4-QUANTIZED cache on TPU, XLA tiles fp reductions differently for
+    (S, 1, E) vs (S, K+1, E) shapes once S*(K+1) > 8 rows; the last-bit k/v
+    differences can flip int4 quantization boundaries, so the spec stream
+    may drift from vanilla's at argmax near-ties — the same noise class as
+    cache quantization itself.  (Single-stream speculation pads both paths
+    to the same 8-row tile and stays bit-exact.)"""
+    from .speculative import propose_drafts
+
+    mdl = params["model"]
+    s, w = st.valid.shape
+    mp = w // page
+    pool_pages = st.pool_k.shape[1]
+    light, heavy = phi3._partition_heavy(mdl["layers"])
+    key_pos = jnp.arange(w)
+    slot_ids = jnp.arange(s)
+    scale = cfg.head_dim**-0.5
+    quantized = cfg.use_quantized_cache
+    kk1 = k_draft + 1
+    ar = jnp.arange(kk1)
+    gather_pt = jnp.minimum(st.page_tables, pool_pages - 1)  # (S, mp)
+
+    def one_pass(carry, _):
+        tok, offsets, valid, pk, pv, buf = carry
+        live = active & (offsets + kk1 <= w)
+        draft = propose_drafts(buf, valid, tok[:, None], offsets, k_draft)
+        ids = jnp.concatenate([tok[:, None], draft], axis=1)  # (S, kk1)
+        wpos = offsets[:, None] + ar[None, :]  # (S, kk1) cache columns
+        buf = buf.at[
+            slot_ids[:, None], jnp.where(live[:, None], wpos, w)
+        ].set(ids, mode="drop")
+        x = embedding(mdl["embed_tokens"], ids).astype(jnp.dtype(cfg.dtype))
+
+        pidx = jnp.clip((offsets - st.pads)[:, None] + ar[None, :], 0, w - 1)
+        cos = jnp.take_along_axis(
+            st.cos, jnp.broadcast_to(pidx[:, :, None], (s, kk1, st.cos.shape[-1])), 1
+        )
+        sin = jnp.take_along_axis(
+            st.sin, jnp.broadcast_to(pidx[:, :, None], (s, kk1, st.sin.shape[-1])), 1
+        )
+
+        fresh = (key_pos[None, None, :] >= offsets[:, None, None]) & (
+            key_pos[None, None, :] <= wpos[:, :, None]
+        )
+        allowed = (
+            (key_pos[None, None, :] <= wpos[:, :, None]) & valid[:, None, :]
+        ) | fresh
+        allowed = allowed[:, None]  # (S, 1, kk1, W)
+
+        # page-table write targets per (slot, draft position)
+        wpage = jnp.take_along_axis(
+            st.page_tables, jnp.minimum(wpos // page, mp - 1), 1
+        )  # (S, kk1)
+        wpid = jnp.where(live[:, None], wpage, pool_pages)  # sentinel drop
+        wcol = wpos % page
+
+        def body(carry, xs):
+            y, pk, pv = carry
+            lp, li = xs
+            h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+            qkv = phi3._dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, li)
+            q, k, v = phi3._qkv_split(cfg, qkv)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+            if quantized:
+                from ..engine.state import quantize_chunk
+
+                entries = quantize_chunk(k, v, cfg.kv_quant, True)
+                # payload (S, KV, rows, kk1) -> values (S, kk1, KV, rows)
+                pk = pk.at[li, wpid, :, :, wcol].set(
+                    entries.k.transpose(0, 3, 1, 2), mode="drop"
+                )
+                pv = pv.at[li, wpid, :, :, wcol].set(
+                    entries.k_scales.transpose(0, 3, 1, 2).astype(pv.dtype),
+                    mode="drop",
+                )
+            else:
+                pk = pk.at[li, wpid, :, wcol].set(
+                    k.transpose(0, 2, 1, 3).astype(pk.dtype), mode="drop"
+                )
+                pv = pv.at[li, wpid, :, wcol].set(
+                    v.transpose(0, 2, 1, 3).astype(pv.dtype), mode="drop"
+                )
+            layer_k = lax.dynamic_index_in_dim(pk, li, 0, keepdims=False)
+            layer_v = lax.dynamic_index_in_dim(pv, li, 0, keepdims=False)
+            if quantized and _use_paged_kernel() and cfg.kv_quant.bits == 4:
+                from ..ops.kernels.kv_attention import (
+                    d_perm,
+                    d_unperm,
+                    paged_quantized_kv_attention,
+                )
+
+                groups = layer_v.shape[2] // 4
+                perm = d_perm(q.shape[-1], groups)
+                o_p = paged_quantized_kv_attention(
+                    q[..., perm], layer_k, layer_v, st.page_tables, valid,
+                    offsets, scale=scale,
+                )
+                o = o_p[..., d_unperm(q.shape[-1], groups)].astype(y.dtype)
+            elif quantized:
+                from ..engine.state import LayerKV, read_kv
+
+                kq = layer_k[gather_pt]
+                sq = layer_v[gather_pt]
+                kq = kq.transpose(0, 2, 3, 1, 4).reshape(
+                    s, kq.shape[2], kq.shape[3], mp * page
+                )
+                sq = sq.transpose(0, 2, 3, 1, 4).reshape(
+                    s, sq.shape[2], sq.shape[3], mp * page
+                )
+                kc, vc = read_kv(
+                    LayerKV(k=kq, k_scales=sq), y.dtype, cfg.kv_quant.bits
+                )
+                o = masked_attention(q, kc, vc, allowed, scale)
+            elif _use_paged_kernel():
+                from ..ops.kernels.kv_attention import paged_kv_attention
+
+                o = paged_kv_attention(
+                    q, layer_k, layer_v, st.page_tables, valid, offsets,
+                    scale=scale,
+                ).astype(y.dtype)
+            else:
+                kc = layer_k[gather_pt]
+                vc = layer_v[gather_pt]
+                kc = kc.transpose(0, 2, 1, 3, 4).reshape(
+                    s, kc.shape[2], mp * page, -1
+                )
+                vc = vc.transpose(0, 2, 1, 3, 4).reshape(
+                    s, vc.shape[2], mp * page, -1
+                )
+                o = masked_attention(
+                    q, kc.astype(y.dtype), vc.astype(y.dtype), allowed, scale
+                )
+            o = o.transpose(0, 2, 1, 3).reshape(s, kk1, -1)
+            y = y + phi3._dense_at(
+                lp, heavy, ("self_attn", "o_proj"), o, li
+            ).astype(y.dtype)
+            hh = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+            gate_up = phi3._dense_at(lp, heavy, ("mlp", "gate_up_proj"), hh, li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            y = y + phi3._dense_at(
+                lp, heavy, ("mlp", "down_proj"), ff, li
+            ).astype(y.dtype)
+            return (y, pk, pv), None
+
+        (x, pk, pv), _ = lax.scan(
+            body, (x, pk, pv), (light, jnp.arange(cfg.num_hidden_layers))
+        )
+        x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+        logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+        lg = logits.astype(jnp.float32)  # (S, kk1, V)
+        lp_all = jax.nn.log_softmax(lg, axis=-1)
+        out = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        match = (draft == out[:, :-1]).astype(jnp.int32)
+        acc = jnp.cumprod(match, axis=1).sum(axis=1)
+        n_emit = jnp.where(live, acc + 1, 0)
+
+        new_valid = valid | (
+            (key_pos[None, :] >= offsets[:, None])
+            & (key_pos[None, :] < (offsets + n_emit)[:, None])
+        )
+        new_offsets = offsets + n_emit
+        new_tok = jnp.where(live, out[slot_ids, acc], tok)
+        stats = (out, lp_all.max(axis=-1), lp_all[..., eos_id], n_emit)
+        return (new_tok, new_offsets, new_valid, pk, pv, buf), stats
+
+    carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v, st.buf)
+    (tok_f, off_f, valid_f, pk, pv, buf_f), (toks, maxlp, eoslp, n_emits) = (
+        lax.scan(one_pass, carry0, jnp.arange(n_passes))
+    )
+    return toks, maxlp, eoslp, n_emits, PagedState(
+        pool_k=pk, pool_v=pv, page_tables=st.page_tables, offsets=off_f,
+        pads=st.pads, valid=valid_f, cos=st.cos, sin=st.sin, tokens=tok_f,
+        buf=buf_f,
     )
 
 
 def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
-                 l_pad: int, n_pads, page_ids, page: int):
+                 l_pad: int, n_pads, page_ids, page: int, prompt_row=None):
     """Scatter a prefilled request's cache columns into its allocated pages
     and install the slot's page-table row.
 
@@ -330,12 +532,18 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
         [src_state.valid[0, :l_pad], jnp.zeros((w - l_pad,), bool)]
     )
     valid = lax.dynamic_update_slice(st.valid, row_valid[None], (slot, 0))
+    buf = st.buf
+    if prompt_row is not None:
+        buf = lax.dynamic_update_slice(
+            buf, prompt_row.astype(jnp.int32)[None], (slot, 0)
+        )
     return PagedState(
         pool_k=pool_k, pool_v=pool_v, page_tables=page_tables,
         offsets=st.offsets.at[slot].set(jnp.asarray(l_pad, jnp.int32)),
         pads=st.pads.at[slot].set(jnp.asarray(n_pads, jnp.int32)),
         valid=valid, cos=st.cos, sin=st.sin,
         tokens=st.tokens.at[slot].set(last_token),
+        buf=buf,
     )
 
 
@@ -354,7 +562,8 @@ class PagedBatchEngine(BatchEngine):
     """
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
-                 page_size: int = 64, pool_pages: int = 0, seed: int = 0):
+                 page_size: int = 64, pool_pages: int = 0, seed: int = 0,
+                 spec_k: int = 0):
         if 64 % page_size and page_size % 64:
             raise ValueError("page_size must divide or be a multiple of 64")
         if window % page_size:
@@ -364,7 +573,8 @@ class PagedBatchEngine(BatchEngine):
         self._free_pages: List[int] = list(range(self.pool_pages))
         self._slot_pages: Dict[int, List[int]] = {}
         self.preempted: List[int] = []  # rids awaiting recompute resume
-        super().__init__(lm, processor, slots=slots, window=window, seed=seed)
+        super().__init__(lm, processor, slots=slots, window=window, seed=seed,
+                         spec_k=spec_k)
 
     def _init_state(self):
         return _init_paged(
@@ -417,16 +627,20 @@ class PagedBatchEngine(BatchEngine):
             cfg = self.lm.cfg
 
             self._adopt_fns[l_pad] = jax.jit(
-                lambda t, slot, src, tok, pads, prow, _l=l_pad: _paged_adopt(
+                lambda t, slot, src, tok, pads, prow, ids_row, _l=l_pad:
+                _paged_adopt(
                     cfg, PagedState.from_tree(t), slot, src, tok, _l, pads,
-                    prow, page,
+                    prow, page, prompt_row=ids_row,
                 ).tree()
             )
+        ids_row = np.zeros((l_pad,), np.int32)
+        seed_ids = p.ids if p.ids is not None else p.prompt_ids
+        ids_row[p.n_pads:] = np.maximum(np.asarray(seed_ids, np.int32), 0)
         self.state = PagedState.from_tree(
             self._adopt_fns[l_pad](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
                 jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
-                jnp.asarray(table_row),
+                jnp.asarray(table_row), jnp.asarray(ids_row),
             )
         )
 
@@ -507,7 +721,7 @@ class PagedBatchEngine(BatchEngine):
             src_state=src_state, first=req.tokens[-1], l_pad=l_pad,
             n_pads=l_pad - l, prompt_ids=req.prompt_ids,
             max_tokens=req.max_tokens, temperature=req.temperature,
-            top_p=req.top_p, rid=rid,
+            top_p=req.top_p, rid=rid, ids=ids,
         )
 
     def admit_resume(self, prepared) -> bool:
@@ -555,17 +769,41 @@ class PagedBatchEngine(BatchEngine):
         last = min(start + n_steps - 1, self.window - 1)
         return last // self.page_size + 1
 
+    def _spec_fn(self, n_passes: int):
+        fkey = ("spec", n_passes, self.spec_k)
+        if fkey not in self._step_fns:
+            cfg, eos_id = self.lm.cfg, self.lm.eos_id
+            page = self.page_size
+
+            def f(params, tree, active, _n=n_passes, _k=self.spec_k):
+                toks, maxlp, eoslp, n_emits, st = _paged_spec_decode_chunk(
+                    params, cfg, PagedState.from_tree(tree), active, page, _n,
+                    _k, eos_id=eos_id,
+                )
+                return toks, maxlp, eoslp, n_emits, st.tree()
+
+            self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
+        return self._step_fns[fkey]
+
     def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
         self._try_resume()
         if not self.by_slot:
             return {}
         page = self.page_size
+        temps, _ = self._sampling_vectors()
+        self._tail_slots &= set(self.by_slot)
+        use_spec = bool(
+            self.spec_k and temps is None and not self._tail_slots
+        )
+        # Worst-case column growth this chunk: every verify pass can commit
+        # K+1 columns per slot.
+        growth = n_steps * (self.spec_k + 1) if use_spec else n_steps
         # Make room for every page this chunk can touch.  On pool pressure,
         # preempt the youngest request (cheapest recompute) instead of
         # raising — it resumes via _try_resume when pages free up.
         while True:
             shortfall = sum(
-                max(0, self._pages_needed(r, n_steps) - len(self._slot_pages[r.slot]))
+                max(0, self._pages_needed(r, growth) - len(self._slot_pages[r.slot]))
                 for r in self.by_slot.values()
             ) - len(self._free_pages)
             if shortfall <= 0:
@@ -584,7 +822,7 @@ class PagedBatchEngine(BatchEngine):
             self._preempt(victim)
         # Pre-allocate, per active slot.
         for slot, req in self.by_slot.items():
-            needed = self._pages_needed(req, n_steps)
+            needed = self._pages_needed(req, growth)
             have = len(self._slot_pages[slot])
             while needed > have:
                 (pid,) = self._alloc_pages(1)
@@ -593,6 +831,9 @@ class PagedBatchEngine(BatchEngine):
                     slot, have
                 ].set(pid)
                 have += 1
+
+        if use_spec:
+            return self._step_spec(n_steps)
 
         temps, tops = self._sampling_vectors()
         sampling = temps is not None

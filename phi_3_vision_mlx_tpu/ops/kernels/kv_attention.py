@@ -293,11 +293,16 @@ def _paged_kernel(
     )
     s *= scale
     q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
-    q_pos = off_ref[si] + q_rows
+    off = off_ref[si]
+    q_pos = off + q_rows
     key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + pj * pg
-    # fresh column (key_pos == q_pos) is visible even though its validity
-    # bit commits only after the step (engine/paging.py write-then-attend)
-    ok = ((key_pos < q_pos) & (valid_ref[0, 0, 0][None, :] > 0)) | (key_pos == q_pos)
+    # Fresh columns [offset, q_pos] are visible even though their validity
+    # bits commit only after the step (write-then-attend); for lq == 1 this
+    # is exactly the key_pos == q_pos diagonal, for speculative multi-query
+    # passes it causally exposes the pass's earlier draft columns.
+    ok = ((key_pos < off) & (valid_ref[0, 0, 0][None, :] > 0)) | (
+        (key_pos >= off) & (key_pos <= q_pos)
+    )
     s = jnp.where(ok, s, NEG_INF)
 
     m_prev = m_ref[...]
@@ -456,10 +461,12 @@ def _paged_q_kernel(
     )
     s *= scale
     q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
-    q_pos = off_ref[si] + q_rows
+    off = off_ref[si]
+    q_pos = off + q_rows
     key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + pj * pg
-    ok = ((key_pos < q_pos) & (valid_ref[0, 0, 0][None, :] > 0)) | (
-        key_pos == q_pos
+    # fresh-region rule: see _paged_kernel (supports speculative lq > 1)
+    ok = ((key_pos < off) & (valid_ref[0, 0, 0][None, :] > 0)) | (
+        (key_pos >= off) & (key_pos <= q_pos)
     )
     s = jnp.where(ok, s, NEG_INF)
 

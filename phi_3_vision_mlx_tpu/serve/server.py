@@ -208,12 +208,7 @@ def serve(
     if continuous:
         from http.server import ThreadingHTTPServer
 
-        engine_kw = {}
-        if spec_k:
-            if paged:
-                raise ValueError("--spec-k requires the contiguous engine "
-                                 "(drop --paged)")
-            engine_kw["spec_k"] = spec_k
+        engine_kw = {"spec_k": spec_k} if spec_k else {}
         scheduler = ContinuousScheduler(
             *preload, slots=slots, window=window, paged=paged, **engine_kw
         )

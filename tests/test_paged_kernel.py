@@ -104,3 +104,47 @@ def test_paged_quantized_kernel_matches_xla_path():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_paged_kernel_multi_query_fresh_region():
+    """lq > 1 (speculative verify pass): query i at offset+i must see the
+    committed window plus fresh columns [offset, offset+i] regardless of
+    their (uncommitted) validity bits."""
+    rng = np.random.default_rng(2)
+    s, h, kvh, d, pg, mp, pool = 2, 8, 4, 32, 16, 4, 12
+    w = mp * pg
+    lq = 4
+
+    q = jnp.asarray(rng.standard_normal((s, h, lq, d)), jnp.float32)
+    pool_k = jnp.asarray(rng.standard_normal((pool, kvh, pg, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((pool, kvh, pg, d)), jnp.float32)
+    page_tables = jnp.asarray(
+        [[0, 1, 2, pool], [3, 4, pool, pool]], jnp.int32
+    )
+    offsets = jnp.asarray([30, 14], jnp.int32)  # fresh cols cross a page edge
+    valid = np.zeros((s, w), bool)
+    valid[0, :30] = True
+    valid[1, 3:14] = True
+    valid = jnp.asarray(valid)
+
+    out = paged_kv_attention(
+        q, pool_k, pool_v, page_tables, valid, offsets, scale=d**-0.5,
+        interpret=True,
+    )
+
+    gpt = jnp.minimum(page_tables, pool - 1)
+    kc = pool_k[gpt].transpose(0, 2, 1, 3, 4).reshape(s, kvh, w, d)
+    vc = pool_v[gpt].transpose(0, 2, 1, 3, 4).reshape(s, kvh, w, d)
+    key_pos = jnp.arange(w)
+    qpos = offsets[:, None] + jnp.arange(lq)[None, :]  # (S, lq)
+    allowed = (
+        ((key_pos[None, None, :] < offsets[:, None, None]) & valid[:, None, :])
+        | ((key_pos[None, None, :] >= offsets[:, None, None])
+           & (key_pos[None, None, :] <= qpos[:, :, None]))
+    )[:, None]  # (S, 1, lq, W)
+    ref = masked_attention(q, kc, vc, allowed, d**-0.5)
+
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -108,6 +108,58 @@ def test_spec_window_tail_matches_vanilla(lmproc):
     assert eng.free == [0]
 
 
+def test_spec_paged_matches_vanilla(lmproc):
+    """Paged-pool speculative decoding: streams bit-identical to the
+    vanilla paged engine (which test_batching anchors to single-stream)."""
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    base = _run(
+        PagedBatchEngine(lm, proc, slots=3, window=128, page_size=32),
+        PROMPTS,
+    )
+    eng = PagedBatchEngine(lm, proc, slots=3, window=128, page_size=32,
+                           spec_k=7)
+    spec = _run(eng, PROMPTS)
+    assert spec == base
+    st = eng.spec_stats
+    assert st["emitted"] >= st["passes"] > 0
+    assert len(eng._free_pages) == eng.pool_pages
+
+
+def test_spec_paged_quantized_cache(lmproc):
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    lm = type(lm)(lm.cfg.replace(use_quantized_cache=True), lm.params)
+    base = _run(
+        PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32),
+        PROMPTS[:2],
+    )
+    spec = _run(
+        PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                         spec_k=5),
+        PROMPTS[:2],
+    )
+    assert spec == base
+
+
+def test_spec_paged_preemption_interplay(lmproc):
+    """Speculation + an undersized pool: worst-case page reservation forces
+    preemption; every request still completes with the exact stream."""
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    base_eng = PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                                pool_pages=5)
+    base = _run(base_eng, PROMPTS[:2], max_tokens=40, n_steps=1)
+    eng = PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                           pool_pages=5, spec_k=3)
+    spec = _run(eng, PROMPTS[:2], max_tokens=40, n_steps=1)
+    assert spec == base
+    assert len(eng._free_pages) == eng.pool_pages
+
+
 def test_spec_acceptance_tiny_vocab():
     """On a small-vocab model greedy generation cycles; the engine must
     then emit >1 token per verify pass, still matching vanilla."""
