@@ -51,8 +51,11 @@ def _chunk_schedule():
 # Long prompts prefill in chunks of this many tokens.  Each chunk pays one
 # full weight pass (the XLA prefill path dequantizes per layer), so bigger
 # chunks amortize weight traffic: 32K-prompt prefill measured 560 tok/s at
-# 512-token chunks -> 1549 @ 2048 -> 2155 @ 4096 -> 2633 @ 8192.
-PREFILL_CHUNK = int(os.environ.get("PHI3V_TPU_PREFILL_CHUNK", "8192"))
+# 512-token chunks -> 1549 @ 2048 -> 2155 @ 4096 -> 2633 @ 8192 -> 3902
+# @ 16384 -> 4315 @ 32768 (one-shot; with the r3 (1024, 2048) flash tiles).
+# Default 16384: verified to still fit beside the 48K-window quantized
+# cache on the ~8 GB fraction; set 32768 when windows stay <= 32K.
+PREFILL_CHUNK = int(os.environ.get("PHI3V_TPU_PREFILL_CHUNK", "16384"))
 
 
 def round_up(x: int, m: int) -> int:

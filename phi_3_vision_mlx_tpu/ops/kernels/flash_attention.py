@@ -94,11 +94,24 @@ def _kernel(
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
+import os as _os
+
+# Tile-size knobs (import-time env read, like engine.PREFILL_CHUNK).
+# r3 on-chip sweep, 32K-window chunked prefill tok/s (see ROADMAP):
+#   (bq, bk) @ chunk 8192:  (256,512) 2643 -> (512,1024) 3381 ->
+#   (1024,2048) 3375;  @ chunk 16384: (1024,2048) 3902;
+#   @ chunk 32768 (one-shot): 4315.  (2048,2048)/(1024,4096) exceed the
+# 16 MB scoped-VMEM limit.  Defaults pick the biggest VMEM-safe tiles.
+_BLOCK_Q = int(_os.environ.get("PHI3V_TPU_FLASH_BQ", "1024"))
+_BLOCK_K = int(_os.environ.get("PHI3V_TPU_FLASH_BK", "2048"))
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k")
 )
 def flash_attention(
-    q, k, v, valid, q_pos0, *, scale: float, block_q: int = 256, block_k: int = 512
+    q, k, v, valid, q_pos0, *, scale: float, block_q: int = _BLOCK_Q,
+    block_k: int = _BLOCK_K,
 ):
     """Flash attention against a (cached) key window.
 
