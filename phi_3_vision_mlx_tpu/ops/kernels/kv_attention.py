@@ -26,6 +26,7 @@ tile.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -742,12 +743,20 @@ def _qflash_kernel(
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
+# r3 on-chip tile sweep (lq=1024 scoring vs a 32K window, 32 layers):
+# (256,1024) 215 ms -> (512,1024) 180 -> (256,2048) 192 -> (512,2048) 171
+# -> (1024,2048) 161 -> (1024,1024) 163.  Env: PHI3V_TPU_QFLASH_BQ/BK.
+_QF_BLOCK_Q = int(os.environ.get("PHI3V_TPU_QFLASH_BQ", "1024"))
+_QF_BLOCK_K = int(os.environ.get("PHI3V_TPU_QFLASH_BK", "2048"))
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
 def quantized_flash_attention(
     q, kv_payload, kv_scales, valid, q_pos0, layer_idx, *, scale: float,
-    block_q: int = 256, block_k: int = 1024, interpret: bool = False,
+    block_q: int = _QF_BLOCK_Q, block_k: int = _QF_BLOCK_K,
+    interpret: bool = False,
 ):
     """Flash attention reading the stacked nibble-packed quantized cache IN
     PLACE — the prefill-sized counterpart of :func:`quantized_kv_attention`.
