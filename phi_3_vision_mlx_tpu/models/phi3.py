@@ -143,9 +143,11 @@ def _use_flash(lq: int, lk: int) -> bool:
         return False
     if flag == "1":
         return True
-    # r3 on-chip sweep (full-model prefill, fraction): lk=576 0.98x (wash),
-    # lk=1088 1.04x, lk=2048 1.27x vs the XLA path -> flash from 1K keys up.
-    return lq >= 512 and lk >= 1024
+    # r3 on-chip sweeps (full-model prefill, fraction).  With the larger
+    # (1024, 2048) flash tiles: lk=576 flash LOSES 18%, lk=832 wins 3%,
+    # lk=1088 wins 10%, lk=1958 wins 21% vs the XLA path -> flash from
+    # ~768 keys up.  (Old (256, 512) tiles needed lk >= 1024.)
+    return lq >= 512 and lk >= 768
 
 
 def _use_kv_kernel(lq: int) -> bool:
