@@ -318,7 +318,9 @@ def serve():
     while eng.pending():
         eng.step()
 
-    chunk = 16
+    # r3 chunk sweep (8 staggered reqs / 4 slots): 16 -> 235, 32 -> 284,
+    # 64 -> 244 (mid-chunk finish waste), 128 -> 171 tok/s aggregate.
+    chunk = int(os.environ.get("BENCH_SLOT_CHUNK", "32"))
     # warm the chunked step too
     r1 = eng.submit("warmup two", max_tokens=chunk + 2)
     while eng.pending():
