@@ -312,7 +312,8 @@ def serve():
     from phi_3_vision_mlx_tpu.engine.batching import BatchEngine
 
     lm, proc = _lm()
-    eng = BatchEngine(lm, proc, slots=4, window=512)
+    slots = int(os.environ.get("BENCH_SLOT_COUNT", "4"))
+    eng = BatchEngine(lm, proc, slots=slots, window=512)
     # warmup: compile prefill + adopt + step
     r0 = eng.submit("warmup request", max_tokens=8)
     while eng.pending():
@@ -330,7 +331,7 @@ def serve():
     rids = []
     pending_submits = [
         (f"Request {i}: tell a story about topic {i}.", 128 + 32 * (i % 4))
-        for i in range(8)
+        for i in range(2 * slots)
     ]
     steps = 0
     while pending_submits or eng.pending():
@@ -346,7 +347,7 @@ def serve():
         "metric": "serving_aggregate_tps_continuous_batching",
         "value": round(total / dt, 2),
         "unit": "tok/s aggregate",
-        "note": f"8 staggered requests over 4 slots, {total} tokens in "
+        "note": f"{2 * slots} staggered requests over {slots} slots, {total} tokens in "
                 f"{dt:.1f}s ({steps} dispatches of {chunk}-step chunks)",
     }
 
