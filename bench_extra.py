@@ -8,6 +8,8 @@ Workloads (BASELINE.md configs + ROADMAP long-context targets):
   quant32k  - quantized-KV decode in a 32K window (BASELINE config 5)
   prefill32k- 32K-token prefill throughput (chunked prefill + flash kernel)
   vqa       - single-image VQA prefill latency
+  vqa_decode- image-captioning decode TPS (reference README rows)
+  lora_decode- decode TPS with a LoRA adapter over the int4 base
   chat      - interactive profile: first-token latency, adaptive chunk ramp
   serve     - continuous-batching aggregate throughput (staggered requests)
   spec      - prompt-lookup speculative decode (overhead + cycling bound)
@@ -181,6 +183,75 @@ def vqa():
     return {"metric": "vqa_prefill_ms", "value": round(best, 1), "unit": "ms",
             "target_ms": 500,
             "note": "end-to-end: image prep + prefill + 2-token decode"}
+
+
+def vqa_decode():
+    """Image-captioning gen TPS (BASELINE rows README.md:277): decode speed
+    after a single-image prefill — the reference's 4-bit vision model
+    decodes at 44.26 tok/s, its quantized-KV vision path collapses to 5.56."""
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.core import weights as W
+    from phi_3_vision_mlx_tpu.engine.engine import LM, generate_text
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3VProcessor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+    from PIL import Image
+
+    from bench import synth_quantized_params
+    from phi_3_vision_mlx_tpu.models.vision import init_vision_params
+
+    qcfg = QuantConfig(group_size=64, bits=4, mode=os.environ["BENCH_QUANT_MODE"])
+    cfg = preset("phi35_vision").replace(quantized=qcfg)
+    params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    params["model"]["vision_embed_tokens"] = init_vision_params(
+        cfg, jax.random.PRNGKey(1), jnp.bfloat16
+    )
+    if jax.default_backend() == "tpu":
+        params = W.kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    lm = LM(cfg, params)
+    proc = Phi3VProcessor(tokenizer=ByteTokenizer())
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (480, 640, 3), np.uint8))
+    best = 0.0
+    for _ in range(3):
+        _, tps = generate_text(
+            lm, proc, "<|image_1|>\nDescribe this image in detail.",
+            images=[img], max_tokens=100, verbose=False, stream=False,
+            mute=True, return_tps=True,
+        )
+        best = max(best, tps)
+    return {"metric": "vqa_decode_tps_int4", "value": round(best, 2),
+            "unit": "tok/s", "reference_q_model": 44.26,
+            "ratio_vs_q": round(best / 44.26, 2),
+            "note": "100-token generation after single-image prefill "
+                    "(reference 'Image captioning' rows)"}
+
+
+def lora_decode():
+    """Decode TPS with a LoRA adapter injected over the int4 base
+    (BASELINE 'LoRA adapter' rows; the reference's fp16+LoRA single-stream
+    row is 24.72 tok/s)."""
+    from phi_3_vision_mlx_tpu.engine.engine import generate_text
+    from phi_3_vision_mlx_tpu.train.lora import inject_lora
+
+    lm, proc = _lm()
+    params, _ = inject_lora(
+        lm.params, lm.cfg, ["self_attn.qkv_proj"], 5, 16, jax.random.PRNGKey(2)
+    )
+    lm.params = params
+    prompt = "Write a mystery story set in a lighthouse."
+    best = 0.0
+    for _ in range(3):
+        _, tps = generate_text(
+            lm, proc, prompt, max_tokens=256, verbose=False, stream=False,
+            mute=True, return_tps=True,
+        )
+        best = max(best, tps)
+    return {"metric": "lora_decode_tps_int4", "value": round(best, 2),
+            "unit": "tok/s", "reference_lora_fp16": 24.72,
+            "ratio": round(best / 24.72, 2),
+            "note": "rank-16 LoRA over 5 layers, int4 base (reference "
+                    "benchmark() 'lora' config)"}
 
 
 def prefill32k():
@@ -462,7 +533,8 @@ def chat():
 ALL = {
     "single": single, "batch15": batch15, "dense8k": dense8k,
     "quant8k": quant8k, "quant32k": quant32k, "quant48k": quant48k,
-    "prefill32k": prefill32k, "vqa": vqa, "chat": chat, "serve": serve,
+    "prefill32k": prefill32k, "vqa": vqa, "vqa_decode": vqa_decode,
+    "lora_decode": lora_decode, "chat": chat, "serve": serve,
     "spec": spec, "serve_spec": serve_spec,
 }
 EXTRA = {"quant64k": quant64k}  # needs a full chip's HBM
