@@ -398,6 +398,11 @@ def serve():
     while eng.pending():
         eng.step(chunk)
 
+    # Pipelined chunks (default): dispatch chunk k+1 before collecting k,
+    # hiding per-chunk dispatch+fetch latency (~80 ms through the tunnel).
+    # BENCH_SERVE_PIPELINE=0 measures the old synchronous loop.
+    pipelined = os.environ.get("BENCH_SERVE_PIPELINE", "1") != "0"
+
     t0 = time.perf_counter()
     rids = []
     pending_submits = [
@@ -406,12 +411,17 @@ def serve():
     ]
     steps = 0
     while pending_submits or eng.pending():
-        if pending_submits and eng.free:
+        # admit into EVERY free slot (one-per-chunk admission starves slots)
+        while pending_submits and eng.free:
             prompt, n = pending_submits.pop(0)
             rids.append(eng.submit(prompt, max_tokens=n))
         if eng.pending():
-            eng.step(chunk)
+            if pipelined:
+                eng.step_pipelined(chunk)
+            else:
+                eng.step(chunk)
             steps += 1
+    eng.flush()
     dt = time.perf_counter() - t0
     total = sum(len(eng.requests[r].tokens) for r in rids)
     return {
@@ -419,7 +429,8 @@ def serve():
         "value": round(total / dt, 2),
         "unit": "tok/s aggregate",
         "note": f"{2 * slots} staggered requests over {slots} slots, {total} tokens in "
-                f"{dt:.1f}s ({steps} dispatches of {chunk}-step chunks)",
+                f"{dt:.1f}s ({steps} dispatches of {chunk}-step chunks, "
+                f"pipelined={pipelined})",
     }
 
 

@@ -438,6 +438,22 @@ class _Request:
 
 
 @dataclass
+class _ChunkHandle:
+    """An in-flight decode chunk: dispatched to the device, not yet trimmed.
+
+    ``dispatch`` snapshots the slot->rid mapping at enqueue time; ``collect``
+    fetches the arrays and trims against that snapshot, so results of a chunk
+    survive slots being freed/re-admitted while it is in flight.
+    """
+
+    kind: str  # "plain" | "spec"
+    arrays: tuple  # device arrays: (toks, maxlp, eoslp[, n_emits])
+    slot_rids: Dict[int, int]
+    n_steps: int
+    growth: int = 0  # worst-case cache columns this chunk appends per slot
+
+
+@dataclass
 class _Prepared:
     """A prefilled-but-not-admitted request.
 
@@ -504,6 +520,11 @@ class BatchEngine:
         self._adopt_fns = {}
         self._base_key = jax.random.PRNGKey(seed)
         self._chunk_i = 0
+        self._inflight: object = None  # _ChunkHandle enqueued by step_pipelined
+        # Tokens trimmed by an internal flush (e.g. paged reservation under
+        # pool pressure) that no caller has picked up yet; merged into the
+        # next collect()'s return value so streaming callers never lose them.
+        self._orphan_out: Dict[int, List[int]] = {}
 
     def _init_state(self):
         return _init_slots(
@@ -624,7 +645,7 @@ class BatchEngine:
     # -- decode -------------------------------------------------------------
 
     def pending(self) -> bool:
-        return bool(self.by_slot)
+        return bool(self.by_slot) or self._inflight is not None
 
     def _sampling_vectors(self):
         """(temps, top_ps) device vectors, or None when all-greedy."""
@@ -637,21 +658,16 @@ class BatchEngine:
             tops[slot] = req.top_p
         return jnp.asarray(temps), jnp.asarray(tops)
 
-    def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
-        """``n_steps`` decode steps (one dispatch) for all active slots.
+    def _try_resume(self) -> None:
+        """Hook: the paged subclass resumes preempted requests here."""
 
-        Returns {rid: [tokens...]} (EOS/max_tokens-trimmed).  Requests join
-        and complete at chunk boundaries; a slot finishing mid-chunk wastes
-        the chunk remainder only.  With ``spec_k`` set and an all-greedy
-        batch, each step is a speculative verify pass (1..K+1 tokens/slot).
-        """
-        if not self.by_slot:
-            return {}
-        temps, tops = self._sampling_vectors()
-        self._tail_slots &= set(self.by_slot)
-        if self.spec_k and temps is None and not self._tail_slots:
-            return self._step_spec(n_steps)
-        sampling = temps is not None
+    def _reserve(self, n_steps: int, use_spec: bool) -> bool:
+        """Hook: make room for one chunk's worst-case cache growth (paged
+        subclass).  False aborts the dispatch (nothing steppable)."""
+        return True
+
+    def _plain_fn(self, n_steps: int, sampling: bool):
+        """Compiled vanilla chunk (subclasses swap the state/step impl)."""
         fkey = (n_steps, sampling)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
@@ -666,24 +682,68 @@ class BatchEngine:
                 return toks, maxlp, eoslp, st.tree()
 
             self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
+        return self._step_fns[fkey]
+
+    def dispatch(self, n_steps: int = 1):
+        """Enqueue one decode chunk WITHOUT waiting for its results.
+
+        Returns a :class:`_ChunkHandle` for :meth:`collect`, or None when
+        nothing is active.  The handle snapshots slot->rid at enqueue time,
+        so collect() stays correct even if slots free and re-admit while the
+        chunk is in flight (their trailing steps are discarded).
+        """
+        self._try_resume()
+        if not self.by_slot:
+            return None
+        temps, tops = self._sampling_vectors()
+        self._tail_slots &= set(self.by_slot)
+        use_spec = bool(self.spec_k and temps is None and not self._tail_slots)
+        if not self._reserve(n_steps, use_spec):
+            return None
+        if use_spec:
+            return self._dispatch_spec(n_steps)
+        sampling = temps is not None
+        fn = self._plain_fn(n_steps, sampling)
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
         self._chunk_i += 1
-        toks, maxlp, eoslp, tree = self._step_fns[fkey](
+        toks, maxlp, eoslp, tree = fn(
             self.lm.params, self.state.tree(), jnp.asarray(active),
             temps if sampling else jnp.zeros((self.slots,), jnp.float32),
             tops if sampling else jnp.ones((self.slots,), jnp.float32),
             jax.random.fold_in(self._base_key, self._chunk_i),
         )
-        self.state = SlotState.from_tree(tree)
-        toks = jax.device_get(toks)  # (n_steps, S)
-        maxlp = jax.device_get(maxlp)
-        eoslp = jax.device_get(eoslp)
-        out: Dict[int, List[int]] = {}
-        for slot, req in list(self.by_slot.items()):
-            emitted = out.setdefault(req.rid, [])
-            for i in range(n_steps):
+        self.state = type(self.state).from_tree(tree)
+        return _ChunkHandle(
+            "plain", (toks, maxlp, eoslp),
+            {s: r.rid for s, r in self.by_slot.items()}, n_steps,
+            growth=n_steps,
+        )
+
+    def collect(self, handle) -> Dict[int, List[int]]:
+        """Fetch a dispatched chunk's results and trim them into requests.
+
+        Blocks until the chunk finishes on device.  Steps belonging to slots
+        whose request completed (or was preempted) after the dispatch are
+        discarded — a pipelined caller wastes at most one chunk per request.
+        Returns {rid: [tokens...]} including any tokens trimmed by internal
+        flushes since the last collect.
+        """
+        if handle is self._inflight:
+            self._inflight = None
+        out, self._orphan_out = self._orphan_out, {}
+        if handle is None:
+            return out
+        if handle.kind == "spec":
+            return self._collect_spec(handle, out)
+        toks, maxlp, eoslp = jax.device_get(handle.arrays)  # (n_steps, S)
+        for slot, rid in handle.slot_rids.items():
+            req = self.requests[rid]
+            if req.done or req.slot != slot:
+                continue  # finished/preempted while this chunk was in flight
+            emitted = out.setdefault(rid, [])
+            for i in range(handle.n_steps):
                 tok = int(toks[i, slot])
                 req.tokens.append(tok)
                 emitted.append(tok)
@@ -707,6 +767,43 @@ class BatchEngine:
                     break
         return out
 
+    def flush(self) -> Dict[int, List[int]]:
+        """Collect the in-flight pipelined chunk, if any."""
+        h, self._inflight = self._inflight, None
+        return self.collect(h)
+
+    def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
+        """``n_steps`` decode steps (one dispatch) for all active slots.
+
+        Returns {rid: [tokens...]} (EOS/max_tokens-trimmed).  Requests join
+        and complete at chunk boundaries; a slot finishing mid-chunk wastes
+        the chunk remainder only.  With ``spec_k`` set and an all-greedy
+        batch, each step is a speculative verify pass (1..K+1 tokens/slot).
+        """
+        out = self.flush()  # no-op unless mixed with step_pipelined
+        h = self.dispatch(n_steps)
+        if h is not None:
+            for rid, toks in self.collect(h).items():
+                out.setdefault(rid, []).extend(toks)
+        return out
+
+    def step_pipelined(self, n_steps: int = 1) -> Dict[int, List[int]]:
+        """One pipelined tick: enqueue the NEXT chunk before collecting the
+        previous one.
+
+        The device runs chunk k+1 while the host fetches chunk k's tokens,
+        trims, and runs any admission prefills the caller interleaves —
+        hiding the per-chunk dispatch+fetch latency (~80 ms through a remote
+        tunnel; +40% serving throughput at 32-step chunks).  Cost: request
+        completion is detected one chunk late, so each request wastes at
+        most one chunk of device steps (the stale tokens are discarded; the
+        freed slot's cache columns are reset at the next adoption).  Call
+        :meth:`flush` after the loop to collect the final chunk.
+        """
+        h = self.dispatch(n_steps)  # may internally flush under pool pressure
+        prev, self._inflight = self._inflight, h
+        return self.collect(prev)  # collect(None) still drains orphaned tokens
+
     def _spec_fn(self, n_passes: int):
         """Compiled speculative chunk (subclasses swap the state/step impl)."""
         fkey = ("spec", n_passes, self.spec_k)
@@ -723,8 +820,8 @@ class BatchEngine:
             self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
         return self._step_fns[fkey]
 
-    def _step_spec(self, n_passes: int) -> Dict[int, List[int]]:
-        """Speculative chunk: ``n_passes`` verify passes in one dispatch."""
+    def _dispatch_spec(self, n_passes: int):
+        """Enqueue a speculative chunk: ``n_passes`` verify passes."""
         fn = self._spec_fn(n_passes)
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
@@ -734,12 +831,22 @@ class BatchEngine:
             self.lm.params, self.state.tree(), jnp.asarray(active)
         )
         self.state = type(self.state).from_tree(tree)
+        return _ChunkHandle(
+            "spec", (toks, maxlp, eoslp, n_emits),
+            {s: r.rid for s, r in self.by_slot.items()}, n_passes,
+            growth=n_passes * (self.spec_k + 1),
+        )
+
+    def _collect_spec(self, handle, out) -> Dict[int, List[int]]:
         toks, maxlp, eoslp, n_emits = jax.device_get(
-            (toks, maxlp, eoslp, n_emits)
+            handle.arrays
         )  # toks: (n_passes, S, K+1)
-        out: Dict[int, List[int]] = {}
-        for slot, req in list(self.by_slot.items()):
-            emitted = out.setdefault(req.rid, [])
+        n_passes = handle.n_steps
+        for slot, rid in handle.slot_rids.items():
+            req = self.requests[rid]
+            if req.done or req.slot != slot:
+                continue  # finished/preempted while this chunk was in flight
+            emitted = out.setdefault(rid, [])
             done = False
             any_emitted = False
             for i in range(n_passes):
@@ -795,6 +902,8 @@ class BatchEngine:
         self.free = list(range(self.slots))
         for slot in range(self.slots):
             self._on_slot_freed(slot)
+        self._inflight = None  # its results belong to the failed requests
+        self._orphan_out = {}
         self.state = self._init_state()
 
     # -- results ------------------------------------------------------------

@@ -785,61 +785,11 @@ class PagedBatchEngine(BatchEngine):
             self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
         return self._step_fns[fkey]
 
-    def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
-        self._try_resume()
-        if not self.by_slot:
-            return {}
-        page = self.page_size
-        temps, _ = self._sampling_vectors()
-        self._tail_slots &= set(self.by_slot)
-        use_spec = bool(
-            self.spec_k and temps is None and not self._tail_slots
-        )
-        # Worst-case column growth this chunk: every verify pass can commit
-        # K+1 columns per slot.
-        growth = n_steps * (self.spec_k + 1) if use_spec else n_steps
-        # Make room for every page this chunk can touch.  On pool pressure,
-        # preempt the youngest request (cheapest recompute) instead of
-        # raising — it resumes via _try_resume when pages free up.
-        while True:
-            shortfall = sum(
-                max(0, self._pages_needed(r, growth) - len(self._slot_pages[r.slot]))
-                for r in self.by_slot.values()
-            ) - len(self._free_pages)
-            if shortfall <= 0:
-                break
-            if len(self.by_slot) == 1:
-                (req,) = self.by_slot.values()
-                slot = req.slot
-                del self.by_slot[slot]
-                self.free.append(slot)
-                self._release_slot(slot)
-                self._fail_request(
-                    req, f"page pool too small ({self.pool_pages} pages) for "
-                         f"a lone request's next chunk")
-                return {}
-            victim = max(self.by_slot.values(), key=lambda r: r.rid)
-            self._preempt(victim)
-        # Pre-allocate, per active slot.
-        for slot, req in self.by_slot.items():
-            needed = self._pages_needed(req, growth)
-            have = len(self._slot_pages[slot])
-            while needed > have:
-                (pid,) = self._alloc_pages(1)
-                self._slot_pages[slot].append(pid)
-                self.state.page_tables = self.state.page_tables.at[
-                    slot, have
-                ].set(pid)
-                have += 1
-
-        if use_spec:
-            return self._step_spec(n_steps)
-
-        temps, tops = self._sampling_vectors()
-        sampling = temps is not None
+    def _plain_fn(self, n_steps: int, sampling: bool):
         fkey = (n_steps, sampling)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
+            page = self.page_size
 
             def f(params, tree, active, temps, tops, key, _n=n_steps,
                   _s=sampling):
@@ -851,43 +801,60 @@ class PagedBatchEngine(BatchEngine):
                 return toks, maxlp, eoslp, st.tree()
 
             self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
-        active = np.zeros((self.slots,), bool)
-        for slot in self.by_slot:
-            active[slot] = True
-        self._chunk_i += 1
-        toks, maxlp, eoslp, tree = self._step_fns[fkey](
-            self.lm.params, self.state.tree(), jnp.asarray(active),
-            temps if sampling else jnp.zeros((self.slots,), jnp.float32),
-            tops if sampling else jnp.ones((self.slots,), jnp.float32),
-            jax.random.fold_in(self._base_key, self._chunk_i),
-        )
-        self.state = PagedState.from_tree(tree)
-        toks = jax.device_get(toks)
-        maxlp = jax.device_get(maxlp)
-        eoslp = jax.device_get(eoslp)
-        out: Dict[int, List[int]] = {}
-        for slot, req in list(self.by_slot.items()):
-            emitted = out.setdefault(req.rid, [])
-            for i in range(n_steps):
-                tok = int(toks[i, slot])
-                req.tokens.append(tok)
-                emitted.append(tok)
-                hit_window = (
-                    req.l_pad + len(req.tokens) - req.adopted_at + 1
-                    >= self.window - 1
-                )
-                early = req.stopper is not None and req.stopper.update(
-                    float(maxlp[i, slot]), float(eoslp[i, slot]), 1
-                )
-                if (
-                    early
-                    or tok == self.lm.eos_id
-                    or len(req.tokens) >= req.max_tokens
-                    or hit_window
-                ):
-                    req.done = True
-                    del self.by_slot[slot]
-                    self.free.append(slot)
-                    self._on_slot_freed(slot)
-                    break
-        return out
+        return self._step_fns[fkey]
+
+    def _reserve(self, n_steps: int, use_spec: bool) -> bool:
+        """Make room for every page this chunk can touch.
+
+        Worst-case column growth: every verify pass can commit K+1 columns
+        per slot; an uncollected pipelined chunk's growth is still pending
+        (its tokens are not in ``req.tokens`` yet), so it counts too.  On
+        pool pressure, first collect the in-flight chunk (its completions
+        free pages; preempting while it still writes through the old page
+        table would corrupt reallocated pages), then preempt the youngest
+        request (cheapest recompute) instead of raising — it resumes via
+        _try_resume when pages free up.
+        """
+        growth = n_steps * (self.spec_k + 1) if use_spec else n_steps
+        while True:
+            pending = (
+                self._inflight.growth if self._inflight is not None else 0
+            )
+            shortfall = sum(
+                max(0, self._pages_needed(r, pending + growth)
+                    - len(self._slot_pages[r.slot]))
+                for r in self.by_slot.values()
+            ) - len(self._free_pages)
+            if shortfall <= 0:
+                break
+            if self._inflight is not None:
+                for rid, toks in self.flush().items():
+                    self._orphan_out.setdefault(rid, []).extend(toks)
+                if not self.by_slot:
+                    return False
+                continue
+            if len(self.by_slot) == 1:
+                (req,) = self.by_slot.values()
+                slot = req.slot
+                del self.by_slot[slot]
+                self.free.append(slot)
+                self._release_slot(slot)
+                self._fail_request(
+                    req, f"page pool too small ({self.pool_pages} pages) for "
+                         f"a lone request's next chunk")
+                return False
+            victim = max(self.by_slot.values(), key=lambda r: r.rid)
+            self._preempt(victim)
+        pending = self._inflight.growth if self._inflight is not None else 0
+        # Pre-allocate, per active slot.
+        for slot, req in self.by_slot.items():
+            needed = self._pages_needed(req, pending + growth)
+            have = len(self._slot_pages[slot])
+            while needed > have:
+                (pid,) = self._alloc_pages(1)
+                self._slot_pages[slot].append(pid)
+                self.state.page_tables = self.state.page_tables.at[
+                    slot, have
+                ].set(pid)
+                have += 1
+        return True

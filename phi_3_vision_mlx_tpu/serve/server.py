@@ -114,6 +114,11 @@ class ContinuousScheduler:
         import os
 
         chunk = int(os.environ.get("PHI3V_TPU_SLOT_CHUNK", "8"))
+        # Pipelined chunks (default): the next chunk is enqueued before the
+        # previous one's results are fetched, hiding dispatch+fetch latency
+        # behind device compute (engine.step_pipelined).  Opt out with
+        # PHI3V_TPU_SLOT_PIPELINE=0.
+        pipelined = os.environ.get("PHI3V_TPU_SLOT_PIPELINE", "1") != "0"
         while True:
             with self._cv:
                 while not self.engine.pending():
@@ -142,7 +147,12 @@ class ContinuousScheduler:
                 try:
                     if prepared is not None:
                         self.engine.admit_resume(prepared)
-                    if self.engine.by_slot:
+                    if pipelined:
+                        # Ticks while pending() covers the final flush: once
+                        # by_slot empties, dispatch returns None and the
+                        # in-flight chunk is collected.
+                        self.engine.step_pipelined(chunk)
+                    elif self.engine.by_slot:
                         self.engine.step(chunk)
                 except Exception as e:  # fail owners, keep the pump alive
                     self.engine.fail_all_active(f"{type(e).__name__}: {e}")

@@ -184,15 +184,21 @@ def test_pump_survives_engine_error(lmproc):
     lm, proc = lmproc
     sched = ContinuousScheduler(lm, proc, slots=2, window=128)
     orig_step = sched.engine.step
+    orig_pipelined = sched.engine.step_pipelined
     calls = {"n": 0}
 
-    def flaky(n_steps=1):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("injected failure")
-        return orig_step(n_steps)
+    def make_flaky(orig):
+        def flaky(n_steps=1):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected failure")
+            return orig(n_steps)
+        return flaky
 
-    sched.engine.step = flaky
+    # The pump steps via step_pipelined by default (step without it);
+    # poison whichever it picks.
+    sched.engine.step = make_flaky(orig_step)
+    sched.engine.step_pipelined = make_flaky(orig_pipelined)
     with pytest.raises(RuntimeError, match="injected failure"):
         sched.complete("This request hits the injected fault.", 8)
     out = sched.complete("This one must still be served.", 8)
