@@ -65,7 +65,22 @@ def inject_lora(
         for part in target.split("."):
             node = node[part]
         w = node["weight"]
-        nl, kdim, ndim = w.shape[0], w.shape[1], w.shape[2]
+        nl = w.shape[0]
+        if "scales" in node:
+            s = node["scales"]
+            if w.ndim == 5:
+                # Tiled-contiguous Pallas layout (kernelize_params):
+                # payload (nl, K/bk, N/bn, bk, bn/2), scales (nl, K/bk,
+                # N/bn, bk/g, bn) — recover the logical (K, N).
+                kdim = w.shape[1] * w.shape[3]
+                ndim = s.shape[2] * s.shape[4]
+            else:
+                # Flat payloads: (nl, K, N) uint8/int8 or nibble-packed
+                # (nl, K, N/2); scales (nl, K/g, N) carry the true N.
+                kdim = w.shape[1]
+                ndim = s.shape[-1]
+        else:
+            kdim, ndim = w.shape[1], w.shape[2]
         key, sub = jax.random.split(key)
         bound = 1.0 / np.sqrt(kdim)
         a = jax.random.uniform(
