@@ -192,13 +192,16 @@ def generate(
     sample=False,
     temperature=1.0,
     top_p=1.0,
+    top_k=0,
+    min_p=0.0,
     seed=0,
     speculative=None,
 ):
     """Batched generation with streaming (reference :1324-1374).
 
     Greedy by default (reference parity); ``sample=True`` enables on-device
-    temperature / nucleus sampling (``temperature``, ``top_p``, ``seed``).
+    temperature / nucleus / top-k / min-p sampling (``temperature``,
+    ``top_p``, ``top_k``, ``min_p``, ``seed``).
     ``speculative=True`` (or env ``PHI3V_TPU_SPEC=1``) enables prompt-lookup
     speculative decoding — greedy single-stream only, output bit-identical
     (engine/speculative.py)."""
@@ -227,6 +230,8 @@ def generate(
         sample=sample,
         temperature=temperature,
         top_p=top_p,
+        top_k=top_k,
+        min_p=min_p,
         seed=seed,
         speculative=speculative,
     )

@@ -99,8 +99,8 @@ def _init_slots(cfg: ModelConfig, slots: int, window: int, dtype):
 
 
 def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
-                  n_steps: int, temps=None, top_ps=None, key=None,
-                  eos_id: int = 0):
+                  n_steps: int, temps=None, top_ps=None, top_ks=None,
+                  min_ps=None, key=None, eos_id: int = 0):
     """``n_steps`` decode steps for every slot in ONE dispatch.
 
     Chunking amortizes dispatch latency (through the remote tunnel a single
@@ -108,9 +108,9 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     boundaries, and a slot that finishes mid-chunk wastes at most the rest of
     the chunk (host trims; adoption resets the slot).  active: (S,) bool.
 
-    ``temps``/``top_ps``: optional device (S,) vectors — per-slot sampling
-    (rows with temp <= 0 stay exact-greedy); None compiles the pure-greedy
-    step with no sort.  Returns (tokens (n_steps, S), maxlp (n_steps, S),
+    ``temps``/``top_ps``/``top_ks``/``min_ps``: optional device (S,)
+    vectors — per-slot sampling (rows with temp <= 0 stay exact-greedy);
+    temps=None compiles the pure-greedy step with no sort.  Returns (tokens (n_steps, S), maxlp (n_steps, S),
     eoslp (n_steps, S), new state) — the per-step log-prob stats feed the
     host-side LogitStopper exactly as the single-stream engine's chunk_fn.
     """
@@ -212,7 +212,8 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
             from .engine import sample_token_rows
 
             nxt = sample_token_rows(
-                lg, jax.random.fold_in(key, step_i), temps, top_ps
+                lg, jax.random.fold_in(key, step_i), temps, top_ps,
+                top_ks=top_ks, min_ps=min_ps,
             )
 
         new_valid = jnp.where(
@@ -428,6 +429,8 @@ class _Request:
     l_pad: int = 0
     temperature: float = 0.0
     top_p: float = 1.0
+    top_k: int = 0
+    min_p: float = 0.0
     error: str = ""
     prompt_ids: List[int] = field(default_factory=list)  # preemption resume
     stopper: object = None  # per-request LogitStopper (early_stop)
@@ -471,6 +474,8 @@ class _Prepared:
     max_tokens: int
     temperature: float = 0.0
     top_p: float = 1.0
+    top_k: int = 0
+    min_p: float = 0.0
     early_stop: object = False
     rid: int = -1  # set on resume re-prefills to keep the original rid
     # the ids actually prefilled (prompt + regenerated tokens on a resume);
@@ -535,6 +540,7 @@ class BatchEngine:
 
     def prepare(self, prompt: str, max_tokens: int = 512,
                 temperature: float = 0.0, top_p: float = 1.0,
+                top_k: int = 0, min_p: float = 0.0,
                 early_stop=False) -> _Prepared:
         """Tokenize + prefill a request WITHOUT touching engine state.
 
@@ -563,7 +569,8 @@ class BatchEngine:
         return _Prepared(
             src_state=src_state, first=first, l_pad=l_pad, n_pads=l_pad - l,
             prompt_ids=[int(t) for t in ids[0]], max_tokens=max_tokens,
-            temperature=temperature, top_p=top_p, early_stop=early_stop,
+            temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p,
+            early_stop=early_stop,
         )
 
     def can_admit(self, prepared: _Prepared) -> bool:
@@ -619,7 +626,7 @@ class BatchEngine:
             req = _Request(
                 rid=rid, slot=slot, tokens=[p.first], max_tokens=p.max_tokens,
                 l_pad=p.l_pad, temperature=p.temperature, top_p=p.top_p,
-                prompt_ids=p.prompt_ids,
+                top_k=p.top_k, min_p=p.min_p, prompt_ids=p.prompt_ids,
             )
             if p.early_stop:
                 from .stream import LogitStopper
@@ -636,10 +643,10 @@ class BatchEngine:
 
     def submit(self, prompt: str, max_tokens: int = 512,
                temperature: float = 0.0, top_p: float = 1.0,
-               early_stop=False) -> int:
+               top_k: int = 0, min_p: float = 0.0, early_stop=False) -> int:
         return self.admit(self.prepare(
             prompt, max_tokens, temperature=temperature, top_p=top_p,
-            early_stop=early_stop,
+            top_k=top_k, min_p=min_p, early_stop=early_stop,
         ))
 
     # -- decode -------------------------------------------------------------
@@ -648,15 +655,21 @@ class BatchEngine:
         return bool(self.by_slot) or self._inflight is not None
 
     def _sampling_vectors(self):
-        """(temps, top_ps) device vectors, or None when all-greedy."""
+        """(temps, top_ps, top_ks, min_ps) device vectors, or Nones when
+        all-greedy (top-k/min-p only act on sampled rows)."""
         if all(r.temperature <= 0 for r in self.by_slot.values()):
-            return None, None
+            return None, None, None, None
         temps = np.zeros((self.slots,), np.float32)
         tops = np.ones((self.slots,), np.float32)
+        topks = np.zeros((self.slots,), np.int32)
+        minps = np.zeros((self.slots,), np.float32)
         for slot, req in self.by_slot.items():
             temps[slot] = req.temperature
             tops[slot] = req.top_p
-        return jnp.asarray(temps), jnp.asarray(tops)
+            topks[slot] = req.top_k
+            minps[slot] = req.min_p
+        return (jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(topks),
+                jnp.asarray(minps))
 
     def _try_resume(self) -> None:
         """Hook: the paged subclass resumes preempted requests here."""
@@ -672,12 +685,14 @@ class BatchEngine:
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
 
-            def f(params, tree, active, temps, tops, key, _n=n_steps,
-                  _s=sampling):
+            def f(params, tree, active, temps, tops, topks, minps, key,
+                  _n=n_steps, _s=sampling):
                 toks, maxlp, eoslp, st = _decode_chunk(
                     params, cfg, SlotState.from_tree(tree), active, _n,
                     temps=temps if _s else None,
-                    top_ps=tops if _s else None, key=key, eos_id=eos_id,
+                    top_ps=tops if _s else None,
+                    top_ks=topks if _s else None,
+                    min_ps=minps if _s else None, key=key, eos_id=eos_id,
                 )
                 return toks, maxlp, eoslp, st.tree()
 
@@ -695,7 +710,7 @@ class BatchEngine:
         self._try_resume()
         if not self.by_slot:
             return None
-        temps, tops = self._sampling_vectors()
+        temps, tops, topks, minps = self._sampling_vectors()
         self._tail_slots &= set(self.by_slot)
         use_spec = bool(self.spec_k and temps is None and not self._tail_slots)
         if not self._reserve(n_steps, use_spec):
@@ -712,6 +727,8 @@ class BatchEngine:
             self.lm.params, self.state.tree(), jnp.asarray(active),
             temps if sampling else jnp.zeros((self.slots,), jnp.float32),
             tops if sampling else jnp.ones((self.slots,), jnp.float32),
+            topks if sampling else jnp.zeros((self.slots,), jnp.int32),
+            minps if sampling else jnp.zeros((self.slots,), jnp.float32),
             jax.random.fold_in(self._base_key, self._chunk_i),
         )
         self.state = type(self.state).from_tree(tree)

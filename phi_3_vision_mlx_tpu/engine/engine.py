@@ -62,35 +62,53 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def sample_token(logits, key, temperature: float, top_p: float):
-    """Temperature + nucleus (top-p) sampling, fully on-device.
+def sample_token(logits, key, temperature: float, top_p: float,
+                 top_k: int = 0, min_p: float = 0.0):
+    """Temperature + nucleus (top-p) / top-k / min-p sampling, on-device.
 
     The reference decodes greedily only (argmax, phi_3_vision_mlx.py:386);
-    this is the serving-grade extension.  ``top_p >= 1`` skips the nucleus
-    filter; the top-1 token is always kept so ``top_p -> 0`` degrades to
-    greedy rather than to an empty support set.
+    this is the serving-grade extension.  ``top_p >= 1`` / ``top_k <= 0`` /
+    ``min_p <= 0`` each disable that filter.  Enabled filters are computed
+    independently over the temperature-scaled distribution and intersected
+    (keep = above EVERY enabled threshold) — not sequentially renormalized.
+    The top-1 token satisfies every threshold, so extreme settings degrade
+    to greedy rather than to an empty support set.
 
     logits: (B, V) f32; returns (B,) int32.
     """
     logits = logits / jnp.maximum(temperature, 1e-6)
-    if top_p < 1.0:
+    thresh = None
+    if top_p < 1.0 or top_k > 0:
         sorted_desc = -jnp.sort(-logits, axis=-1)
-        probs = jax.nn.softmax(sorted_desc, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens whose *preceding* mass is < top_p (top-1 always kept)
-        keep = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
-        thresh = jnp.take_along_axis(sorted_desc, keep - 1, axis=-1)
+        if top_p < 1.0:
+            probs = jax.nn.softmax(sorted_desc, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep tokens whose *preceding* mass is < top_p (top-1 always kept)
+            keep = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
+            thresh = jnp.take_along_axis(sorted_desc, keep - 1, axis=-1)
+        if top_k > 0:
+            k = min(int(top_k), logits.shape[-1])
+            tk = sorted_desc[:, k - 1 : k]
+            thresh = tk if thresh is None else jnp.maximum(thresh, tk)
+    if min_p > 0.0:
+        # p(tok) >= min_p * p(max)  <=>  logit >= max_logit + log(min_p)
+        tm = logits.max(axis=-1, keepdims=True) + jnp.log(min_p)
+        thresh = tm if thresh is None else jnp.maximum(thresh, tm)
+    if thresh is not None:
         logits = jnp.where(logits >= thresh, logits, -jnp.inf)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-def sample_token_rows(logits, key, temps, top_ps):
-    """Per-row temperature + top-p sampling for the slot engines.
+def sample_token_rows(logits, key, temps, top_ps, top_ks=None, min_ps=None):
+    """Per-row temperature + top-p / top-k / min-p sampling (slot engines).
 
-    Unlike :func:`sample_token` (static scalar knobs), ``temps``/``top_ps``
-    are device ``(B,)`` vectors so one compiled step serves any mix of
-    requests; rows with ``temps <= 0`` decode greedily (exact argmax, not a
-    low-temperature approximation).
+    Unlike :func:`sample_token` (static scalar knobs), the knobs here are
+    device ``(B,)`` vectors so one compiled step serves any mix of requests;
+    rows with ``temps <= 0`` decode greedily (exact argmax, not a
+    low-temperature approximation).  ``top_ks`` (int32, 0 = off) and
+    ``min_ps`` (f32, 0 = off) may be None (compiles the two filters away)
+    and compose with top-p by threshold intersection, matching
+    :func:`sample_token`'s semantics.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
@@ -99,6 +117,15 @@ def sample_token_rows(logits, key, temps, top_ps):
     cum = jnp.cumsum(probs, axis=-1)
     keep = jnp.sum(cum - probs < top_ps[:, None], axis=-1, keepdims=True)
     thresh = jnp.take_along_axis(sorted_desc, jnp.maximum(keep - 1, 0), axis=-1)
+    if top_ks is not None:
+        kidx = jnp.clip(top_ks, 1, scaled.shape[-1])[:, None] - 1
+        tk = jnp.take_along_axis(sorted_desc, kidx, axis=-1)
+        thresh = jnp.maximum(thresh, jnp.where((top_ks > 0)[:, None], tk, -jnp.inf))
+    if min_ps is not None:
+        tm = scaled.max(axis=-1, keepdims=True) + jnp.log(
+            jnp.maximum(min_ps, 1e-38)
+        )[:, None]
+        thresh = jnp.maximum(thresh, jnp.where((min_ps > 0)[:, None], tm, -jnp.inf))
     filtered = jnp.where(scaled >= thresh, scaled, -jnp.inf)
     sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
@@ -285,8 +312,8 @@ class LM:
         """Compiled CHUNK-step decode scan.
 
         ``sampler``: None for greedy (reference parity) or a static
-        ``(temperature, top_p)`` pair — token selection then runs
-        :func:`sample_token` on-device with a per-step folded rng key.
+        ``(temperature, top_p, top_k, min_p)`` tuple — token selection then
+        runs :func:`sample_token` on-device with a per-step folded rng key.
         """
         cfg, eos_id = self.cfg, self.eos_id
 
@@ -554,12 +581,18 @@ def generate_text(
     sample: bool = False,
     temperature: float = 1.0,
     top_p: float = 1.0,
+    top_k: int = 0,
+    min_p: float = 0.0,
     seed: int = 0,
     speculative: Optional[bool] = None,
 ):
     if images is not None and isinstance(prompt, list):
         raise ValueError("Images cannot be provided when prompt is a list")
-    sampler = (float(temperature), float(top_p)) if sample else None
+    sampler = (
+        (float(temperature), float(top_p), int(top_k), float(min_p))
+        if sample
+        else None
+    )
     if speculative is None:
         speculative = os.environ.get("PHI3V_TPU_SPEC", "0") == "1"
     dict_input = processor(prompt, images)

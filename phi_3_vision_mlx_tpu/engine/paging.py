@@ -117,7 +117,7 @@ def _use_paged_kernel() -> bool:
 
 def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
                         page: int, n_steps: int, temps=None, top_ps=None,
-                        key=None, eos_id: int = 0):
+                        top_ks=None, min_ps=None, key=None, eos_id: int = 0):
     """``n_steps`` steps for all slots over the paged pool, one dispatch.
     The host pre-allocates every page the chunk can touch
     (PagedBatchEngine.step), so in-chunk page crossings are just table
@@ -263,7 +263,8 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
             from .engine import sample_token_rows
 
             nxt = sample_token_rows(
-                lg, jax.random.fold_in(key, step_i), temps, top_ps
+                lg, jax.random.fold_in(key, step_i), temps, top_ps,
+                top_ks=top_ks, min_ps=min_ps,
             )
 
         new_valid = jnp.where(
@@ -721,7 +722,8 @@ class PagedBatchEngine(BatchEngine):
             src_state=src_state, first=req.tokens[-1], l_pad=l_pad,
             n_pads=l_pad - l, prompt_ids=req.prompt_ids,
             max_tokens=req.max_tokens, temperature=req.temperature,
-            top_p=req.top_p, rid=rid, ids=ids,
+            top_p=req.top_p, top_k=req.top_k, min_p=req.min_p, rid=rid,
+            ids=ids,
         )
 
     def admit_resume(self, prepared) -> bool:
@@ -791,12 +793,14 @@ class PagedBatchEngine(BatchEngine):
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
             page = self.page_size
 
-            def f(params, tree, active, temps, tops, key, _n=n_steps,
-                  _s=sampling):
+            def f(params, tree, active, temps, tops, topks, minps, key,
+                  _n=n_steps, _s=sampling):
                 toks, maxlp, eoslp, st = _paged_decode_chunk(
                     params, cfg, PagedState.from_tree(tree), active, page, _n,
                     temps=temps if _s else None,
-                    top_ps=tops if _s else None, key=key, eos_id=eos_id,
+                    top_ps=tops if _s else None,
+                    top_ks=topks if _s else None,
+                    min_ps=minps if _s else None, key=key, eos_id=eos_id,
                 )
                 return toks, maxlp, eoslp, st.tree()
 

@@ -79,6 +79,11 @@ class ByteTokenizer:
                     out.append(_ID_TO_SPECIAL[i].encode())
             elif _BYTE_BASE <= i < _BYTE_BASE + 256:
                 out.append(bytes([i - _BYTE_BASE]))
+            else:
+                # Unknown in-vocab id (random-weight smoke runs emit
+                # arbitrary ids): render it visibly so text-level checks
+                # distinguish token streams instead of collapsing to ''.
+                out.append(f"<{i}>".encode())
         return b"".join(out).decode("utf-8", errors="replace")
 
     def batch_decode(self, batch, **kw):

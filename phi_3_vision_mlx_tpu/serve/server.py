@@ -1,8 +1,9 @@
 """HTTP completion server (reference /root/reference/server.py).
 
-POST /v1/completions with {"prompt": str | [str], "max_tokens": int} ->
-{"model", "responses": [...]} using a preloaded model and batched greedy
-generation.  stdlib HTTPServer — no extra dependencies.
+POST /v1/completions with {"prompt": str | [str], "max_tokens": int, and
+optional "temperature"/"top_p"/"top_k"/"min_p"/"seed"} -> {"model",
+"responses": [...]} using a preloaded model; greedy when temperature is 0
+(the default — reference parity).  stdlib HTTPServer — no extra deps.
 
 Example:
     python -m phi_3_vision_mlx_tpu.serve.server --blind --port 8000
@@ -30,6 +31,7 @@ def make_handler(preload):
                 body = json.loads(self.rfile.read(length) or b"{}")
                 prompt = body.get("prompt", "")
                 max_tokens = int(body.get("max_tokens", 128))
+                temperature = float(body.get("temperature", 0.0))
                 responses = generate(
                     prompt,
                     preload=preload,
@@ -37,6 +39,12 @@ def make_handler(preload):
                     verbose=False,
                     stream=False,
                     mute=True,
+                    sample=temperature > 0,
+                    temperature=temperature,
+                    top_p=float(body.get("top_p", 1.0)),
+                    top_k=int(body.get("top_k", 0)),
+                    min_p=float(body.get("min_p", 0.0)),
+                    seed=int(body.get("seed", 0)),
                 )
                 if isinstance(responses, str):
                     responses = [responses]
@@ -94,11 +102,13 @@ class ContinuousScheduler:
         threading.Thread(target=self._pump, daemon=True).start()
 
     def complete(self, prompt: str, max_tokens: int,
-                 temperature: float = 0.0, top_p: float = 1.0) -> str:
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 top_k: int = 0, min_p: float = 0.0) -> str:
         # Prefill outside the lock: active slots keep decoding while this
         # thread's prompt runs through the (possibly chunked) prefill.
         prepared = self.engine.prepare(
-            prompt, max_tokens, temperature=temperature, top_p=top_p
+            prompt, max_tokens, temperature=temperature, top_p=top_p,
+            top_k=top_k, min_p=min_p,
         )
         with self._cv:
             while not self.engine.can_admit(prepared):
@@ -173,9 +183,12 @@ def make_continuous_handler(scheduler: ContinuousScheduler):
                 max_tokens = int(body.get("max_tokens", 128))
                 temperature = float(body.get("temperature", 0.0))
                 top_p = float(body.get("top_p", 1.0))
+                top_k = int(body.get("top_k", 0))
+                min_p = float(body.get("min_p", 0.0))
                 responses = [
                     scheduler.complete(
-                        p, max_tokens, temperature=temperature, top_p=top_p
+                        p, max_tokens, temperature=temperature, top_p=top_p,
+                        top_k=top_k, min_p=min_p,
                     )
                     for p in prompts
                 ]
