@@ -196,12 +196,16 @@ def generate(
     min_p=0.0,
     seed=0,
     speculative=None,
+    stop=None,
 ):
     """Batched generation with streaming (reference :1324-1374).
 
     Greedy by default (reference parity); ``sample=True`` enables on-device
     temperature / nucleus / top-k / min-p sampling (``temperature``,
-    ``top_p``, ``top_k``, ``min_p``, ``seed``).
+    ``top_p``, ``top_k``, ``min_p``, ``seed``).  ``stop``: string or list of
+    strings — generation halts when one appears in the decoded text (matched
+    on text, so stop strings spanning token boundaries fire) and the
+    returned text is trimmed at the first occurrence.
     ``speculative=True`` (or env ``PHI3V_TPU_SPEC=1``) enables prompt-lookup
     speculative decoding — greedy single-stream only, output bit-identical
     (engine/speculative.py)."""
@@ -234,6 +238,7 @@ def generate(
         min_p=min_p,
         seed=seed,
         speculative=speculative,
+        stop=stop,
     )
 
 

@@ -431,6 +431,7 @@ class _Request:
     top_p: float = 1.0
     top_k: int = 0
     min_p: float = 0.0
+    stop: object = None  # list of stop strings (host-side text matching)
     error: str = ""
     prompt_ids: List[int] = field(default_factory=list)  # preemption resume
     stopper: object = None  # per-request LogitStopper (early_stop)
@@ -476,6 +477,7 @@ class _Prepared:
     top_p: float = 1.0
     top_k: int = 0
     min_p: float = 0.0
+    stop: object = None
     early_stop: object = False
     rid: int = -1  # set on resume re-prefills to keep the original rid
     # the ids actually prefilled (prompt + regenerated tokens on a resume);
@@ -540,7 +542,7 @@ class BatchEngine:
 
     def prepare(self, prompt: str, max_tokens: int = 512,
                 temperature: float = 0.0, top_p: float = 1.0,
-                top_k: int = 0, min_p: float = 0.0,
+                top_k: int = 0, min_p: float = 0.0, stop=None,
                 early_stop=False) -> _Prepared:
         """Tokenize + prefill a request WITHOUT touching engine state.
 
@@ -570,6 +572,7 @@ class BatchEngine:
             src_state=src_state, first=first, l_pad=l_pad, n_pads=l_pad - l,
             prompt_ids=[int(t) for t in ids[0]], max_tokens=max_tokens,
             temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p,
+            stop=[stop] if isinstance(stop, str) else list(stop or []),
             early_stop=early_stop,
         )
 
@@ -626,14 +629,16 @@ class BatchEngine:
             req = _Request(
                 rid=rid, slot=slot, tokens=[p.first], max_tokens=p.max_tokens,
                 l_pad=p.l_pad, temperature=p.temperature, top_p=p.top_p,
-                top_k=p.top_k, min_p=p.min_p, prompt_ids=p.prompt_ids,
+                top_k=p.top_k, min_p=p.min_p, stop=p.stop,
+                prompt_ids=p.prompt_ids,
             )
             if p.early_stop:
                 from .stream import LogitStopper
 
                 req.stopper = LogitStopper(p.max_tokens, p.early_stop)
             self.requests[rid] = req
-        if p.first == self.lm.eos_id or len(req.tokens) >= req.max_tokens:
+        if (p.first == self.lm.eos_id or len(req.tokens) >= req.max_tokens
+                or self._stop_hit(req)):
             req.done = True
             self.free.append(slot)
             self._on_slot_freed(slot)
@@ -643,11 +648,21 @@ class BatchEngine:
 
     def submit(self, prompt: str, max_tokens: int = 512,
                temperature: float = 0.0, top_p: float = 1.0,
-               top_k: int = 0, min_p: float = 0.0, early_stop=False) -> int:
+               top_k: int = 0, min_p: float = 0.0, stop=None,
+               early_stop=False) -> int:
         return self.admit(self.prepare(
             prompt, max_tokens, temperature=temperature, top_p=top_p,
-            top_k=top_k, min_p=min_p, early_stop=early_stop,
+            top_k=top_k, min_p=min_p, stop=stop, early_stop=early_stop,
         ))
+
+    def _stop_hit(self, req) -> bool:
+        """True when the request's decoded generation contains a stop
+        string (text-level matching — stop strings spanning token
+        boundaries still fire; ``result`` trims at the occurrence)."""
+        if not req.stop:
+            return False
+        txt = self.processor.tokenizer.decode(req.tokens)
+        return any(s in txt for s in req.stop)
 
     # -- decode -------------------------------------------------------------
 
@@ -776,6 +791,7 @@ class BatchEngine:
                     or tok == self.lm.eos_id
                     or len(req.tokens) >= req.max_tokens
                     or hit_window
+                    or self._stop_hit(req)
                 ):
                     req.done = True
                     del self.by_slot[slot]
@@ -883,6 +899,7 @@ class BatchEngine:
                         early
                         or tok == self.lm.eos_id
                         or len(req.tokens) >= req.max_tokens
+                        or self._stop_hit(req)
                     ):
                         done = True
                         break
@@ -936,4 +953,10 @@ class BatchEngine:
         return list(toks)
 
     def result(self, rid: int) -> str:
-        return self.processor.tokenizer.decode(self.tokens(rid))
+        txt = self.processor.tokenizer.decode(self.tokens(rid))
+        req = self.requests[rid]
+        if req.stop:
+            cuts = [txt.find(s) for s in req.stop if s in txt]
+            if cuts:
+                txt = txt[: min(cuts)]
+        return txt

@@ -28,7 +28,7 @@ from jax import lax
 from ..core.config import ID_EOS, ModelConfig
 from ..models import phi3
 from ..utils.timing import Tic
-from .stream import LogitStopper, Streamer, TokenStopper
+from .stream import LogitStopper, StopSequences, Streamer, TokenStopper
 
 import os
 
@@ -585,6 +585,7 @@ def generate_text(
     min_p: float = 0.0,
     seed: int = 0,
     speculative: Optional[bool] = None,
+    stop=None,
 ):
     if images is not None and isinstance(prompt, list):
         raise ValueError("Images cannot be provided when prompt is a list")
@@ -602,7 +603,8 @@ def generate_text(
 
     logit_stopper = LogitStopper(max_tokens, early_stop)
     token_stopper = TokenStopper(b, lm.eos_id)
-    streamer = Streamer(processor.tokenizer, stream, mute)
+    stop_seqs = StopSequences(processor.tokenizer, stop, b)
+    streamer = Streamer(processor.tokenizer, stream and not stop_seqs, mute)
 
     tic = Tic()
     last_logits, state, l_pad, window = run_prefill(
@@ -624,7 +626,7 @@ def generate_text(
 
     n_emitted = 1
     tok_dev = jnp.asarray(token)
-    stop = False
+    stop = bool(stop_seqs) and stop_seqs.update(token)
     step_timer = None
     step_log = os.environ.get("PHI3V_TPU_STEP_LOG")
     if step_log:
@@ -684,6 +686,9 @@ def generate_text(
                         if token_stopper.update(toks_s[it, :, p]):
                             stop = True
                             break
+                        if stop_seqs and stop_seqs.update(toks_s[it, :, p]):
+                            stop = True
+                            break
                         if n_emitted >= max_tokens:
                             break
                     if stop or n_emitted >= max_tokens:
@@ -715,10 +720,14 @@ def generate_text(
             if token_stopper.update(toks[i]):
                 stop = True
                 break
+            if stop_seqs and stop_seqs.update(toks[i]):
+                stop = True
+                break
             if n_emitted >= max_tokens:
                 break
 
     result, gen_len = streamer.end()
+    result = stop_seqs.trim(result)
     gen_time = tic()
     if step_timer is not None:
         step_timer.dump(step_log)

@@ -722,8 +722,8 @@ class PagedBatchEngine(BatchEngine):
             src_state=src_state, first=req.tokens[-1], l_pad=l_pad,
             n_pads=l_pad - l, prompt_ids=req.prompt_ids,
             max_tokens=req.max_tokens, temperature=req.temperature,
-            top_p=req.top_p, top_k=req.top_k, min_p=req.min_p, rid=rid,
-            ids=ids,
+            top_p=req.top_p, top_k=req.top_k, min_p=req.min_p, stop=req.stop,
+            rid=rid, ids=ids,
         )
 
     def admit_resume(self, prepared) -> bool:

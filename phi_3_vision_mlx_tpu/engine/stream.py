@@ -62,6 +62,52 @@ class Streamer:
         return list_txt, arr.size
 
 
+class StopSequences:
+    """Host-side stop-string matching over decoded generated text.
+
+    The reference stops on EOS / logit heuristics only; production serving
+    also wants custom stop strings ("\\n\\n", "###", ...).  Matching runs on
+    decoded TEXT, not token ids, so a stop string spanning token boundaries
+    still fires.  ``update`` consumes one token per row per call and returns
+    True when EVERY row has matched (mirrors TokenStopper); ``trim`` cuts
+    each final text at its earliest stop occurrence.
+    """
+
+    def __init__(self, tokenizer, stops, batch_size: int):
+        self.stops = [stops] if isinstance(stops, str) else list(stops or [])
+        self.tokenizer = tokenizer
+        self.ids: List[List[int]] = [[] for _ in range(batch_size)]
+        self.hit = np.zeros(batch_size, bool)
+
+    def __bool__(self):
+        return bool(self.stops)
+
+    def update(self, token: np.ndarray) -> bool:
+        """token: (B,) or (B,1) latest token per row."""
+        if not self.stops:
+            return False
+        toks = np.asarray(token).reshape(-1)
+        for r, t in enumerate(toks.tolist()):
+            if self.hit[r]:
+                continue
+            self.ids[r].append(int(t))
+            txt = self.tokenizer.decode(self.ids[r])
+            if any(s in txt for s in self.stops):
+                self.hit[r] = True
+        return bool(self.hit.all())
+
+    def trim_text(self, text: str) -> str:
+        cuts = [text.find(s) for s in self.stops if s in text]
+        return text[: min(cuts)] if cuts else text
+
+    def trim(self, result):
+        if not self.stops:
+            return result
+        if isinstance(result, str):
+            return self.trim_text(result)
+        return [self.trim_text(t) for t in result]
+
+
 class LogitStopper:
     """Early-stop heuristic (B=1 only): stop when the log-prob mass accrued
     since the best-EOS-so-far falls below that EOS score (reference :79-104).

@@ -1,9 +1,11 @@
 """HTTP completion server (reference /root/reference/server.py).
 
 POST /v1/completions with {"prompt": str | [str], "max_tokens": int, and
-optional "temperature"/"top_p"/"top_k"/"min_p"/"seed"} -> {"model",
+optional "temperature"/"top_p"/"top_k"/"min_p"/"seed"/"stop"} -> {"model",
 "responses": [...]} using a preloaded model; greedy when temperature is 0
-(the default — reference parity).  stdlib HTTPServer — no extra deps.
+(the default — reference parity).  "stop": string or list of strings —
+generation halts and the response is trimmed at the first occurrence.
+stdlib HTTPServer — no extra deps.
 
 Example:
     python -m phi_3_vision_mlx_tpu.serve.server --blind --port 8000
@@ -45,6 +47,7 @@ def make_handler(preload):
                     top_k=int(body.get("top_k", 0)),
                     min_p=float(body.get("min_p", 0.0)),
                     seed=int(body.get("seed", 0)),
+                    stop=body.get("stop"),
                 )
                 if isinstance(responses, str):
                     responses = [responses]
@@ -103,12 +106,12 @@ class ContinuousScheduler:
 
     def complete(self, prompt: str, max_tokens: int,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 top_k: int = 0, min_p: float = 0.0) -> str:
+                 top_k: int = 0, min_p: float = 0.0, stop=None) -> str:
         # Prefill outside the lock: active slots keep decoding while this
         # thread's prompt runs through the (possibly chunked) prefill.
         prepared = self.engine.prepare(
             prompt, max_tokens, temperature=temperature, top_p=top_p,
-            top_k=top_k, min_p=min_p,
+            top_k=top_k, min_p=min_p, stop=stop,
         )
         with self._cv:
             while not self.engine.can_admit(prepared):
@@ -185,10 +188,11 @@ def make_continuous_handler(scheduler: ContinuousScheduler):
                 top_p = float(body.get("top_p", 1.0))
                 top_k = int(body.get("top_k", 0))
                 min_p = float(body.get("min_p", 0.0))
+                stop = body.get("stop")
                 responses = [
                     scheduler.complete(
                         p, max_tokens, temperature=temperature, top_p=top_p,
-                        top_k=top_k, min_p=min_p,
+                        top_k=top_k, min_p=min_p, stop=stop,
                     )
                     for p in prompts
                 ]
