@@ -42,6 +42,26 @@ def demo_generate():
         max_tokens=48,
         speculative=True,
     )
+    # seeded on-device sampling: temperature + nucleus/top-k/min-p filters
+    pv.generate(
+        "Brainstorm three names for a sailboat.",
+        blind_model=True,
+        max_tokens=48,
+        sample=True,
+        temperature=0.8,
+        top_p=0.95,
+        top_k=40,
+        min_p=0.02,
+        seed=7,
+    )
+    # stop sequences: halt + trim at the first occurrence (text-matched,
+    # so stops spanning token boundaries fire)
+    pv.generate(
+        "List the planets, one per line.",
+        blind_model=True,
+        max_tokens=64,
+        stop=["\n\n", "###"],
+    )
 
 
 def demo_constrain():
