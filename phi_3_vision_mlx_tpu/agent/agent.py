@@ -92,7 +92,6 @@ class Agent:
     def reset(self):
         self.log = []
         self.ongoing = {"step": 0}
-        self.user_since = 0
 
     def log_step(self):
         self.log.append({k: _jsonable(v) for k, v in self.ongoing.items()})

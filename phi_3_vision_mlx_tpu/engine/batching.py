@@ -36,6 +36,7 @@ from ..models import phi3
 from ..ops.linear import dense, embedding
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rotary, su_rope_tables
+from .stream import stop_tail_window, validate_stops
 
 
 class SlotState:
@@ -572,7 +573,7 @@ class BatchEngine:
             src_state=src_state, first=first, l_pad=l_pad, n_pads=l_pad - l,
             prompt_ids=[int(t) for t in ids[0]], max_tokens=max_tokens,
             temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p,
-            stop=[stop] if isinstance(stop, str) else list(stop or []),
+            stop=validate_stops(stop),
             early_stop=early_stop,
         )
 
@@ -658,10 +659,14 @@ class BatchEngine:
     def _stop_hit(self, req) -> bool:
         """True when the request's decoded generation contains a stop
         string (text-level matching — stop strings spanning token
-        boundaries still fire; ``result`` trims at the occurrence)."""
+        boundaries still fire; ``result`` trims at the occurrence).
+        Decodes only a token tail (:func:`stream.stop_tail_window`) so
+        per-token host work inside the pump stays O(1) in generation
+        length instead of O(n)."""
         if not req.stop:
             return False
-        txt = self.processor.tokenizer.decode(req.tokens)
+        tail = req.tokens[-stop_tail_window(req.stop) :]
+        txt = self.processor.tokenizer.decode(tail)
         return any(s in txt for s in req.stop)
 
     # -- decode -------------------------------------------------------------

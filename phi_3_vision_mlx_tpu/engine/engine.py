@@ -85,7 +85,11 @@ def sample_token(logits, key, temperature: float, top_p: float,
             cum = jnp.cumsum(probs, axis=-1)
             # keep tokens whose *preceding* mass is < top_p (top-1 always kept)
             keep = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
-            thresh = jnp.take_along_axis(sorted_desc, keep - 1, axis=-1)
+            # clamp: top_p <= 0 gives keep=0, and index -1 would wrap to the
+            # SMALLEST logit (disabling the filter); match sample_token_rows
+            thresh = jnp.take_along_axis(
+                sorted_desc, jnp.maximum(keep - 1, 0), axis=-1
+            )
         if top_k > 0:
             k = min(int(top_k), logits.shape[-1])
             tk = sorted_desc[:, k - 1 : k]
@@ -604,7 +608,7 @@ def generate_text(
     logit_stopper = LogitStopper(max_tokens, early_stop)
     token_stopper = TokenStopper(b, lm.eos_id)
     stop_seqs = StopSequences(processor.tokenizer, stop, b)
-    streamer = Streamer(processor.tokenizer, stream and not stop_seqs, mute)
+    streamer = Streamer(processor.tokenizer, stream, mute, stops=stop_seqs.stops)
 
     tic = Tic()
     last_logits, state, l_pad, window = run_prefill(

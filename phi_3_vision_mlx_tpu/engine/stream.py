@@ -22,14 +22,34 @@ class Streamer:
     Stream mode (B=1): prints up to the last space as tokens arrive
     (reference :60-65).  Batch mode: collects tokens, truncates each row at
     its first EOS, batch-decodes (reference :72-77).
+
+    ``stops`` makes streaming compose with stop sequences: the printer
+    withholds the longest-possible stop-string suffix (``len(longest)-1``
+    chars) and never prints at or past an actual stop occurrence, so the
+    streamed output equals the trimmed return value.  Batch mode likewise
+    trims each row at its stop before printing.
     """
 
-    def __init__(self, tokenizer, stream: bool, mute: bool):
+    def __init__(self, tokenizer, stream: bool, mute: bool, stops=None):
         self.tokenizer = tokenizer
         self.mute = mute
         self.stream = stream and (not mute)
+        self.stops = [stops] if isinstance(stops, str) else list(stops or [])
+        self.holdback = max((len(s) for s in self.stops), default=1) - 1
         self.list_tokens: List = []
         self.idx_sofar = 0
+
+    def _print_limit(self, txt: str) -> int:
+        """Highest index into ``txt`` safe to print through (exclusive)."""
+        limit = len(txt) - self.holdback
+        cuts = [txt.find(s) for s in self.stops if s in txt]
+        if cuts:
+            limit = min(limit, min(cuts))
+        return max(limit, 0)
+
+    def _trim(self, txt: str) -> str:
+        cuts = [txt.find(s) for s in self.stops if s in txt]
+        return txt[: min(cuts)] if cuts else txt
 
     def __call__(self, token: np.ndarray):
         """token: (B, 1) numpy int array."""
@@ -42,7 +62,7 @@ class Streamer:
             return
         self.list_tokens.append(int(token[0, 0]))
         txt = self.tokenizer.decode(self.list_tokens)
-        idx_split = txt.rfind(" ", self.idx_sofar)
+        idx_split = txt.rfind(" ", self.idx_sofar, self._print_limit(txt))
         if idx_split > 0:
             print(txt[self.idx_sofar : idx_split], end="", flush=True)
             self.idx_sofar = idx_split
@@ -50,7 +70,7 @@ class Streamer:
     def end(self):
         if self.stream:
             txt = self.tokenizer.decode(self.list_tokens)
-            print(txt[self.idx_sofar :], "\n", flush=True)
+            print(self._trim(txt)[self.idx_sofar :], "\n", flush=True)
             return txt, len(self.list_tokens)
         arr = np.concatenate(self.list_tokens, axis=1)
         rows = arr.tolist()
@@ -58,8 +78,44 @@ class Streamer:
         list_txt = self.tokenizer.batch_decode(rows)
         if not self.mute:
             for i, gen in enumerate(list_txt):
-                print(f"\n< Generated text for prompt #{i} >\n{gen}")
+                print(f"\n< Generated text for prompt #{i} >\n{self._trim(gen)}")
         return list_txt, arr.size
+
+
+def validate_stops(stop) -> List[str]:
+    """Normalize a user-supplied ``stop`` argument to a list of strings.
+
+    Accepts None, a non-empty str, or a list/tuple of non-empty str; raises
+    ``ValueError`` otherwise (an empty stop string would match after the
+    first token and trim everything; non-strings fail later, confusingly,
+    inside decode-time matching).  Caps the list at 16 entries.
+    """
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        stop = [stop]
+    if not isinstance(stop, (list, tuple)):
+        raise ValueError(
+            f"stop must be a string or a list of strings, got {type(stop).__name__}"
+        )
+    if len(stop) > 16:
+        raise ValueError(f"at most 16 stop sequences supported, got {len(stop)}")
+    for s in stop:
+        if not isinstance(s, str) or not s:
+            raise ValueError(f"stop entries must be non-empty strings, got {s!r}")
+    return list(stop)
+
+
+def stop_tail_window(stops) -> int:
+    """Token-tail length sufficient for incremental stop matching.
+
+    A stop string of L chars spans at most ~L tokens of decoded text (most
+    tokens decode to >= 1 char); a window of ``L + 16`` tokens covers the
+    occasional empty-decoding token with wide margin, so matching on the
+    decoded tail is O(window) per step instead of O(generated-so-far).
+    """
+    longest = max((len(s) for s in stops), default=0)
+    return longest + 16
 
 
 class StopSequences:
@@ -70,14 +126,17 @@ class StopSequences:
     decoded TEXT, not token ids, so a stop string spanning token boundaries
     still fires.  ``update`` consumes one token per row per call and returns
     True when EVERY row has matched (mirrors TokenStopper); ``trim`` cuts
-    each final text at its earliest stop occurrence.
+    each final text at its earliest stop occurrence.  Matching decodes only
+    a sliding token tail (:func:`stop_tail_window`), keeping per-token host
+    work constant in generation length.
     """
 
     def __init__(self, tokenizer, stops, batch_size: int):
-        self.stops = [stops] if isinstance(stops, str) else list(stops or [])
+        self.stops = validate_stops(stops)
         self.tokenizer = tokenizer
         self.ids: List[List[int]] = [[] for _ in range(batch_size)]
         self.hit = np.zeros(batch_size, bool)
+        self._tail = stop_tail_window(self.stops)
 
     def __bool__(self):
         return bool(self.stops)
@@ -91,7 +150,8 @@ class StopSequences:
             if self.hit[r]:
                 continue
             self.ids[r].append(int(t))
-            txt = self.tokenizer.decode(self.ids[r])
+            tail = self.ids[r][-self._tail :]
+            txt = self.tokenizer.decode(tail)
             if any(s in txt for s in self.stops):
                 self.hit[r] = True
         return bool(self.hit.all())

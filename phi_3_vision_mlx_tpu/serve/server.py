@@ -19,6 +19,17 @@ from __future__ import annotations
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
+from ..engine.stream import validate_stops
+
+
+def _send_json(handler, code: int, obj) -> None:
+    payload = json.dumps(obj).encode()
+    handler.send_response(code)
+    handler.send_header("Content-Type", "application/json")
+    handler.send_header("Content-Length", str(len(payload)))
+    handler.end_headers()
+    handler.wfile.write(payload)
+
 
 def make_handler(preload):
     from ..api import generate
@@ -34,6 +45,11 @@ def make_handler(preload):
                 prompt = body.get("prompt", "")
                 max_tokens = int(body.get("max_tokens", 128))
                 temperature = float(body.get("temperature", 0.0))
+                try:  # reject malformed stop at parse time (400, not a
+                    stop = validate_stops(body.get("stop"))  # mid-decode 500)
+                except ValueError as e:
+                    _send_json(self, 400, {"error": str(e)})
+                    return
                 responses = generate(
                     prompt,
                     preload=preload,
@@ -47,7 +63,7 @@ def make_handler(preload):
                     top_k=int(body.get("top_k", 0)),
                     min_p=float(body.get("min_p", 0.0)),
                     seed=int(body.get("seed", 0)),
-                    stop=body.get("stop"),
+                    stop=stop,
                 )
                 if isinstance(responses, str):
                     responses = [responses]
@@ -188,7 +204,11 @@ def make_continuous_handler(scheduler: ContinuousScheduler):
                 top_p = float(body.get("top_p", 1.0))
                 top_k = int(body.get("top_k", 0))
                 min_p = float(body.get("min_p", 0.0))
-                stop = body.get("stop")
+                try:
+                    stop = validate_stops(body.get("stop"))
+                except ValueError as e:
+                    _send_json(self, 400, {"error": str(e)})
+                    return
                 responses = [
                     scheduler.complete(
                         p, max_tokens, temperature=temperature, top_p=top_p,

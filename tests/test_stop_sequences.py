@@ -68,6 +68,70 @@ def test_generate_stop_trims_and_halts(lmproc):
     assert len(out) < len(full)
 
 
+def test_validate_stops_rejects_bad_input():
+    from phi_3_vision_mlx_tpu.engine.stream import validate_stops
+
+    assert validate_stops(None) == []
+    assert validate_stops("ab") == ["ab"]
+    assert validate_stops(("x", "y")) == ["x", "y"]
+    for bad in ["", [""], [3], {"a": 1}, b"ab", ["ok", None]]:
+        with pytest.raises(ValueError):
+            validate_stops(bad)
+    with pytest.raises(ValueError):
+        validate_stops(["s"] * 17)
+
+
+def test_streamer_streams_with_stop_holdback(capsys):
+    """Stream mode with stops: prints incrementally, never past the stop,
+    and the total printed text equals the trimmed text."""
+    from phi_3_vision_mlx_tpu.engine.stream import Streamer
+
+    tok = ByteTokenizer()
+    st = Streamer(tok, stream=True, mute=False, stops=["##"])
+    text = "one two three ## never shown"
+    for ch in text:
+        st(np.array([[_bt(ch)]]))
+        printed = capsys.readouterr().out
+        assert "#" not in printed and "never" not in printed
+    mid_seen = st.idx_sofar
+    assert mid_seen > 0  # something streamed before the end
+    txt, _ = st.end()
+    tail = capsys.readouterr().out
+    assert "never" not in tail
+    assert txt == text  # raw text untouched; caller trims the return value
+
+
+def test_generate_stream_with_stop_prints_trimmed(lmproc, capsys):
+    """generate(stream=True, stop=...) streams AND the printed text equals
+    the trimmed return value (ADVICE r3 medium: used to print untrimmed)."""
+    from phi_3_vision_mlx_tpu.api import generate
+
+    full = generate("Hello there", stream=False, mute=True, preload=lmproc,
+                    max_tokens=12, verbose=False)[0]
+    mid = full[len(full) // 2 :][:6]
+    capsys.readouterr()
+    out = generate("Hello there", stream=True, stop=[mid], preload=lmproc,
+                   max_tokens=12, verbose=False, mute=False)
+    printed = capsys.readouterr().out
+    assert isinstance(out, str) and mid not in out
+    assert printed.rstrip() == out.rstrip()  # printed stream == trimmed return
+
+
+def test_batch_mode_print_is_trimmed(lmproc, capsys):
+    """Batch (stream=False, mute=False) console output is trimmed at the
+    stop, matching the return value (ADVICE r3 medium)."""
+    from phi_3_vision_mlx_tpu.api import generate
+
+    kw = dict(preload=lmproc, max_tokens=12, verbose=False, stream=False)
+    full = generate("Hello there", mute=True, **kw)[0]
+    mid = full[len(full) // 2 :][:6]
+    capsys.readouterr()
+    out = generate("Hello there", stop=[mid], mute=False, **kw)[0]
+    printed = capsys.readouterr().out
+    assert mid not in printed
+    assert out in printed
+
+
 def test_batch_engine_stop(lmproc):
     """Per-request stop strings in the slot engine: the stopped request
     frees its slot early and its text is trimmed; a no-stop request in the
