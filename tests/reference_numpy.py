@@ -195,3 +195,171 @@ def greedy_decode(cfg, weights, prompt_ids, max_tokens, pids=None, mask=None):
         token = np.argmax(logits[:, -1, :], axis=-1)
         out.append(token)
     return np.stack(out, axis=1), model  # (B, max_tokens)
+
+
+# ===========================================================================
+# Vision tower transcription (reference phi.py:135-226 ClipModel and
+# :374-416 Phi3ImageEmbedding) — independent of models/vision.py.
+#
+# Weight dict layout (HF/MLX (out, in) linears, OHWI conv):
+#   patch_w (E, P, P, 3); class_emb (E,); pos_emb (num_positions, E);
+#   pre_ln_w/b, layers: list of dicts with q_w/q_b/k_w/k_b/v_w/v_b/out_w/
+#   out_b, ln1_w/b, ln2_w/b, fc1_w/b, fc2_w/b; glb_GN (1,1,4C);
+#   sub_GN (1,1,1,4C); proj0_w/b, proj2_w/b.
+# ===========================================================================
+
+
+def layer_norm(x, w, b, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = np.mean(np.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def gelu_fast_approx(x):
+    """MLX nn.gelu_fast_approx: x * sigmoid(1.702 x) (CLIP MLP, phi.py:154)."""
+    return x / (1.0 + np.exp(-1.702 * x))
+
+
+def gelu_exact(x):
+    """MLX nn.GELU default: 0.5 x (1 + erf(x / sqrt 2)) (img_projection,
+    phi.py:392; BERT FF, gte.py:49)."""
+    from math import sqrt
+
+    try:
+        from scipy.special import erf  # noqa
+    except ImportError:  # scipy-free: vectorized math.erf
+        erf = np.vectorize(__import__("math").erf)
+    return 0.5 * x * (1.0 + erf(x / sqrt(2.0)))
+
+
+def clip_tower(vcfg: dict, w: dict, pixels_nchw):
+    """Reference ClipModel.__call__ (phi.py:213-221): conv patch embed, CLS,
+    positions, pre-LN, pre-norm blocks through the PENULTIMATE layer, drop
+    CLS.  Input (N, 3, S, S) like the reference call site (phi.py:396, which
+    transposes to NHWC before the conv)."""
+    p, e = vcfg["patch_size"], vcfg["hidden_size"]
+    heads = vcfg["num_attention_heads"]
+    eps = vcfg["layer_norm_eps"]
+    x = np.asarray(pixels_nchw, np.float32).transpose(0, 2, 3, 1)  # NHWC
+    n, s = x.shape[0], x.shape[1]
+    g = s // p
+    # stride-p VALID conv == per-patch flatten (kh, kw, ci) @ kernel
+    patches = (
+        x.reshape(n, g, p, g, p, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, g * g, p * p * 3)
+    )
+    kernel = np.asarray(w["patch_w"], np.float32).reshape(e, -1)  # (E, P*P*3)
+    x = patches @ kernel.T  # (N, g*g, E); mx.flatten(1, 2) ordering
+    cls = np.broadcast_to(w["class_emb"], (n, 1, e))
+    x = np.concatenate([cls, x], axis=1)
+    x = x + w["pos_emb"][None]
+    x = layer_norm(x, w["pre_ln_w"], w["pre_ln_b"], eps)
+    d = e // heads
+    for lw in w["layers"][:-1]:  # penultimate (phi.py:219-220)
+        h = layer_norm(x, lw["ln1_w"], lw["ln1_b"], eps)
+        q = (h @ lw["q_w"].T + lw["q_b"]).reshape(n, -1, heads, d).transpose(0, 2, 1, 3)
+        k = (h @ lw["k_w"].T + lw["k_b"]).reshape(n, -1, heads, d).transpose(0, 2, 1, 3)
+        v = (h @ lw["v_w"].T + lw["v_b"]).reshape(n, -1, heads, d).transpose(0, 2, 1, 3)
+        s_ = softmax((q * d**-0.5) @ k.transpose(0, 1, 3, 2), axis=-1)
+        o = (s_ @ v).transpose(0, 2, 1, 3).reshape(n, -1, e)
+        x = x + o @ lw["out_w"].T + lw["out_b"]
+        h = layer_norm(x, lw["ln2_w"], lw["ln2_b"], eps)
+        h = gelu_fast_approx(h @ lw["fc1_w"].T + lw["fc1_b"]) @ lw["fc2_w"].T + lw["fc2_b"]
+        x = x + h
+    return x[:, 1:]  # drop CLS (phi.py:221)
+
+
+def image_embedding(vcfg: dict, w: dict, txt_embeds, img_embeds, img_sizes,
+                    positions):
+    """Reference Phi3ImageEmbedding.__call__ (phi.py:393-416): CLIP tower over
+    flattened crops, 2x2 patch pooling via reshape/transpose, sub_GN row
+    separators, [sub, glb_GN, glb] concat, two-layer GELU projection, scatter
+    into txt_embeds at placeholder positions.  All fp32; mutates and returns
+    txt_embeds like the reference."""
+    txt_embeds = np.array(txt_embeds, np.float32)
+    img_embeds = np.asarray(img_embeds, np.float32)
+    b = img_embeds.shape[0]
+    img_sizes = (np.asarray(img_sizes) // 336).tolist()
+    positions = np.asarray(positions).tolist()
+    feats = clip_tower(vcfg, w, img_embeds.reshape(-1, *img_embeds.shape[2:]))
+    feats = feats.reshape(b, -1, *feats.shape[1:])  # (B, crops, 576, C)
+    c, hh = vcfg["image_dim_out"], int(feats.shape[2] ** 0.5)
+    output_imgs, output_len = [], []
+    for bi in range(b):
+        h, wd = img_sizes[bi]
+        nb = h * wd
+
+        def reshape_concat(img, shape, tile_shape):
+            x = img.reshape(shape).transpose(0, 1, 3, 2, 4, 5).reshape(tile_shape)
+            sub = np.tile(w["sub_GN"], (1, tile_shape[1], 1, 1))
+            return np.concatenate([x, sub], axis=2).reshape(1, -1, 4 * c)
+
+        glb = reshape_concat(
+            feats[bi, :1], (1, hh // 2, 2, hh // 2, 2, c),
+            (1, hh // 2, hh // 2, 4 * c),
+        )
+        sub = reshape_concat(
+            feats[bi, 1 : nb + 1], (nb, hh // 2, 2, hh // 2, 2, c),
+            (1, h * 12, wd * 12, 4 * c),
+        )
+        x = np.concatenate([sub, w["glb_GN"], glb], axis=1)
+        x = gelu_exact(x @ w["proj0_w"].T + w["proj0_b"])
+        x = x @ w["proj2_w"].T + w["proj2_b"]
+        output_imgs.append(x)
+        output_len.append(int((h * wd + 1) * 144 + 1 + (h + 1) * 12))
+    idx = 0
+    for i, cnt in enumerate(output_len):
+        row, col = positions[idx][0], positions[idx][1]
+        txt_embeds[row, col : col + cnt] = output_imgs[i]
+        idx += cnt
+    return txt_embeds
+
+
+# ===========================================================================
+# GTE BERT encoder transcription (reference gte.py:20-143) — independent of
+# models/gte.py.  Weight dict ((out, in) linears):
+#   word_emb (V, D); pos_emb (P, D); ttype_emb (2, D); emb_ln_w/b;
+#   layers: list of dicts with q_w/q_b/k_w/k_b/v_w/v_b/o_w/o_b, ln1_w/b,
+#   ln2_w/b, ff1_w/b, ff2_w/b.
+# ===========================================================================
+
+
+def bert_encode(cfg: dict, w: dict, input_ids, token_type_ids, attention_mask):
+    """Reference Bert.__call__ (gte.py:97-121): additive embeddings + LN,
+    post-LN blocks (MLX MultiHeadAttention with bias, additive log-mask,
+    exact GELU FF), returns the last hidden state."""
+    eps = cfg["layer_norm_eps"]
+    heads = cfg["num_attention_heads"]
+    ids = np.asarray(input_ids)
+    x = (
+        w["word_emb"][ids]
+        + w["pos_emb"][np.arange(ids.shape[1])][None]
+        + w["ttype_emb"][np.asarray(token_type_ids)]
+    ).astype(np.float32)
+    x = layer_norm(x, w["emb_ln_w"], w["emb_ln_b"], eps)
+    # mx.log(mask) -> 0 where visible, -inf where padded (gte.py:115-117)
+    with np.errstate(divide="ignore"):
+        bias = np.log(np.asarray(attention_mask, np.float32))[:, None, None, :]
+    b, l, e = x.shape
+    d = e // heads
+    for lw in w["layers"]:
+        q = (x @ lw["q_w"].T + lw["q_b"]).reshape(b, l, heads, d).transpose(0, 2, 1, 3)
+        k = (x @ lw["k_w"].T + lw["k_b"]).reshape(b, l, heads, d).transpose(0, 2, 1, 3)
+        v = (x @ lw["v_w"].T + lw["v_b"]).reshape(b, l, heads, d).transpose(0, 2, 1, 3)
+        s = (q * d**-0.5) @ k.transpose(0, 1, 3, 2) + bias
+        o = (softmax(s, axis=-1) @ v).transpose(0, 2, 1, 3).reshape(b, l, e)
+        o = o @ lw["o_w"].T + lw["o_b"]
+        x = layer_norm(x + o, lw["ln1_w"], lw["ln1_b"], eps)
+        ff = gelu_exact(x @ lw["ff1_w"].T + lw["ff1_b"]) @ lw["ff2_w"].T + lw["ff2_b"]
+        x = layer_norm(ff + x, lw["ln2_w"], lw["ln2_b"], eps)
+    return x
+
+
+def gte_embed(cfg: dict, w: dict, input_ids, token_type_ids, attention_mask):
+    """Reference GteModel.__call__ (gte.py:135-143): mean-pool over the
+    attention mask, then L2-normalize."""
+    y = bert_encode(cfg, w, input_ids, token_type_ids, attention_mask)
+    m = np.asarray(attention_mask, np.float32)[..., None]
+    emb = (y * m).sum(axis=1) / m.sum(axis=1)
+    return emb / np.linalg.norm(emb, ord=2, axis=1)[..., None]
