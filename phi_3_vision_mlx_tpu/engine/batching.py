@@ -373,18 +373,21 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
 
 
 def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
-           n_pads, prompt_row=None):
+           n_pads, prompt_row=None, src_row=0):
     """Copy a freshly prefilled request's cache into ``slot``.
 
-    src_state: the single-request DecodeState from run_prefill (batch 1,
-    window >= l_pad).  Static ``l_pad`` keeps the copy shape compiled.
+    src_state: the DecodeState from run_prefill (window >= l_pad); row
+    ``src_row`` of its batch is the request being adopted (batch > 1 when
+    the scheduler prefilled several queued admissions in one dispatch).
+    Static ``l_pad`` keeps the copy shape compiled.
     ``prompt_row``: optional (l_pad,) int32 padded prompt ids — seeds the
     slot's token-history buffer for the speculative draft proposer.
     """
+    row = lambda a: lax.dynamic_index_in_dim(a, src_row, axis=1, keepdims=False)
     if cfg.use_quantized_cache:
         # quantized layout keeps L last: copy payload + scale-plane columns
-        k_cols = src_state.kv.k[:, 0, :, :, :l_pad]  # (nl, KV, rows, l_pad)
-        s_cols = src_state.kv.k_scales[:, 0, :, :, :l_pad]
+        k_cols = row(src_state.kv.k)[:, :, :, :l_pad]  # (nl, KV, rows, l_pad)
+        s_cols = row(src_state.kv.k_scales)[:, :, :, :l_pad]
         kv_k = lax.dynamic_update_slice(
             st.kv_k, k_cols[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)
         )
@@ -392,8 +395,8 @@ def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
             st.kv_v, s_cols[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)
         )
     else:
-        k_cols = src_state.kv.k[:, 0, :, :l_pad]  # (nl, KV, l_pad, D)
-        v_cols = src_state.kv.v[:, 0, :, :l_pad]
+        k_cols = row(src_state.kv.k)[:, :, :l_pad]  # (nl, KV, l_pad, D)
+        v_cols = row(src_state.kv.v)[:, :, :l_pad]
         kv_k = lax.dynamic_update_slice(
             st.kv_k, k_cols[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)
         )
@@ -401,8 +404,10 @@ def _adopt(cfg: ModelConfig, st: SlotState, slot, src_state, last_token, l_pad,
             st.kv_v, v_cols[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)
         )
     w = st.valid.shape[1]
+    src_valid = lax.dynamic_index_in_dim(src_state.valid, src_row, axis=0,
+                                         keepdims=False)
     row_valid = jnp.concatenate(
-        [src_state.valid[0, :l_pad], jnp.zeros((w - l_pad,), bool)]
+        [src_valid[:l_pad], jnp.zeros((w - l_pad,), bool)]
     )
     valid = lax.dynamic_update_slice(st.valid, row_valid[None], (slot, 0))
     offsets = st.offsets.at[slot].set(jnp.asarray(l_pad, jnp.int32))
@@ -484,6 +489,9 @@ class _Prepared:
     # the ids actually prefilled (prompt + regenerated tokens on a resume);
     # seeds the slot's token-history buffer.  None -> prompt_ids.
     ids: object = None
+    # which batch row of src_state is this request (prepare_many prefills
+    # several queued admissions in one dispatch; prepare() is row 0 of 1)
+    src_row: int = 0
 
 
 class BatchEngine:
@@ -577,27 +585,82 @@ class BatchEngine:
             early_stop=early_stop,
         )
 
+    def prepare_many(self, prompts: List[str], opts: List[dict]) -> List[_Prepared]:
+        """Prefill SEVERAL queued admissions in ONE batched dispatch.
+
+        One-prompt-per-dispatch admission was the serving bottleneck under
+        bursts (each prefill costs a full weight pass; batching k prompts
+        amortizes it exactly like batched decode).  Prompts left-pad to a
+        common bucket via the processor's batch path (reference
+        Phi3FProcessor semantics), run one ``run_prefill``, and each row
+        becomes its own :class:`_Prepared` carrying ``src_row`` into the
+        shared ``src_state`` — adoption slices its row on device.
+
+        ``opts[i]``: per-request dict of prepare()'s keyword arguments.
+        """
+        from .engine import round_up, run_prefill
+        from .stream import validate_stops
+
+        assert len(prompts) == len(opts)
+        if len(prompts) == 1:
+            return [self.prepare(prompts[0], **opts[0])]
+        dict_input = self.processor(list(prompts))
+        ids = np.asarray(dict_input["input_ids"])
+        mask = np.asarray(
+            dict_input.get("mask")
+            if dict_input.get("mask") is not None
+            else np.ones_like(ids)
+        )
+        l = int(ids.shape[1])
+        l_guess = max(round_up(l, 64), 64)
+        if l_guess >= self.window:
+            raise ValueError(
+                f"batched prompts ({l_guess} tokens bucketed) do not fit "
+                f"window {self.window}"
+            )
+        logits, src_state, l_pad, src_window = run_prefill(
+            self.lm, dict_input, max_tokens=self.window - l_guess
+        )
+        assert src_window == self.window, (src_window, self.window)
+        firsts = np.argmax(np.asarray(jax.device_get(logits)), axis=-1)
+        out = []
+        for r, o in enumerate(opts):
+            real = ids[r][mask[r].astype(bool)]
+            out.append(_Prepared(
+                src_state=src_state, src_row=r, first=int(firsts[r]),
+                l_pad=l_pad, n_pads=l_pad - len(real),
+                prompt_ids=[int(t) for t in real],
+                max_tokens=o.get("max_tokens", 512),
+                temperature=o.get("temperature", 0.0),
+                top_p=o.get("top_p", 1.0), top_k=o.get("top_k", 0),
+                min_p=o.get("min_p", 0.0),
+                stop=validate_stops(o.get("stop")),
+                early_stop=o.get("early_stop", False),
+            ))
+        return out
+
     def can_admit(self, prepared: _Prepared) -> bool:
         return bool(self.free)
 
     def _adopt_prepared(self, p: _Prepared, slot: int) -> None:
         """Device-state adoption only (subclasses add page accounting)."""
-        if p.l_pad not in self._adopt_fns:
+        key = (p.l_pad, p.src_state.valid.shape[0])
+        if key not in self._adopt_fns:
             cfg = self.lm.cfg
-            self._adopt_fns[p.l_pad] = jax.jit(
-                lambda t, slot, src, tok, pads, prow, _l=p.l_pad: _adopt(
+            self._adopt_fns[key] = jax.jit(
+                lambda t, slot, src, tok, pads, prow, srow, _l=p.l_pad: _adopt(
                     cfg, SlotState.from_tree(t), slot, src, tok, _l, pads,
-                    prompt_row=prow,
+                    prompt_row=prow, src_row=srow,
                 ).tree()
             )
         prow = np.zeros((p.l_pad,), np.int32)
         seed_ids = p.ids if p.ids is not None else p.prompt_ids
         prow[p.n_pads:] = np.maximum(np.asarray(seed_ids, np.int32), 0)
         self.state = SlotState.from_tree(
-            self._adopt_fns[p.l_pad](
+            self._adopt_fns[key](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
                 jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
-                jnp.asarray(prow),
+                jnp.asarray(prow), jnp.asarray(p.src_row, jnp.int32),
             )
         )
 

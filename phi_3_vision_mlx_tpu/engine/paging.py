@@ -478,7 +478,8 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
 
 
 def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
-                 l_pad: int, n_pads, page_ids, page: int, prompt_row=None):
+                 l_pad: int, n_pads, page_ids, page: int, prompt_row=None,
+                 src_row=0):
     """Scatter a prefilled request's cache columns into its allocated pages
     and install the slot's page-table row.
 
@@ -489,10 +490,12 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
     """
     n_pages = -(-l_pad // page)
     l_full = n_pages * page
+    row = lambda a: jax.lax.dynamic_index_in_dim(a, src_row, axis=1,
+                                                 keepdims=False)
     if cfg.use_quantized_cache:
         # transposed quantized layout: (nl, KV, rows, W) -> per-page slices
-        k_cols = src_state.kv.k[:, 0, :, :, :l_pad]
-        s_cols = src_state.kv.k_scales[:, 0, :, :, :l_pad]
+        k_cols = row(src_state.kv.k)[:, :, :, :l_pad]
+        s_cols = row(src_state.kv.k_scales)[:, :, :, :l_pad]
         nl, kvh, rows, _ = k_cols.shape
 
         def pages_of(cols):
@@ -509,8 +512,8 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
         )
     else:
         # (nl, KV, l_pad, D) -> (nl, n_pages, KV, page, D)
-        k_cols = src_state.kv.k[:, 0, :, :l_pad]
-        v_cols = src_state.kv.v[:, 0, :, :l_pad]
+        k_cols = row(src_state.kv.k)[:, :, :l_pad]
+        v_cols = row(src_state.kv.v)[:, :, :l_pad]
         nl, kvh, _, d = k_cols.shape
 
         def pages_of(cols):
@@ -529,8 +532,10 @@ def _paged_adopt(cfg: ModelConfig, st: PagedState, slot, src_state, last_token,
         )
     page_tables = st.page_tables.at[slot].set(page_ids)
     w = st.valid.shape[1]
+    src_valid = jax.lax.dynamic_index_in_dim(src_state.valid, src_row, axis=0,
+                                             keepdims=False)
     row_valid = jnp.concatenate(
-        [src_state.valid[0, :l_pad], jnp.zeros((w - l_pad,), bool)]
+        [src_valid[:l_pad], jnp.zeros((w - l_pad,), bool)]
     )
     valid = lax.dynamic_update_slice(st.valid, row_valid[None], (slot, 0))
     buf = st.buf
@@ -624,24 +629,26 @@ class PagedBatchEngine(BatchEngine):
         table_row = np.full((mp,), self.pool_pages, np.int32)
         table_row[: len(ids)] = ids
 
-        if l_pad not in self._adopt_fns:
+        key = (l_pad, p.src_state.valid.shape[0])
+        if key not in self._adopt_fns:
             cfg = self.lm.cfg
 
-            self._adopt_fns[l_pad] = jax.jit(
-                lambda t, slot, src, tok, pads, prow, ids_row, _l=l_pad:
+            self._adopt_fns[key] = jax.jit(
+                lambda t, slot, src, tok, pads, prow, ids_row, srow, _l=l_pad:
                 _paged_adopt(
                     cfg, PagedState.from_tree(t), slot, src, tok, _l, pads,
-                    prow, page, prompt_row=ids_row,
+                    prow, page, prompt_row=ids_row, src_row=srow,
                 ).tree()
             )
         ids_row = np.zeros((l_pad,), np.int32)
         seed_ids = p.ids if p.ids is not None else p.prompt_ids
         ids_row[p.n_pads:] = np.maximum(np.asarray(seed_ids, np.int32), 0)
         self.state = PagedState.from_tree(
-            self._adopt_fns[l_pad](
+            self._adopt_fns[key](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
                 jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
                 jnp.asarray(table_row), jnp.asarray(ids_row),
+                jnp.asarray(p.src_row, jnp.int32),
             )
         )
 

@@ -1,0 +1,463 @@
+"""Tiered KV cache: 64K-128K-token windows on ONE chip via host memory.
+
+The reference serves a 128K context on a single 64 GB Mac through its
+group-32 quantized KV cache (/root/reference/phi.py:528-540).  A fractional
+TPU subslice has ~8 GB of HBM: the packed int4 cache alone is ~8 GB at 64K
+and ~16 GB at 128K, so the in-HBM path tops out at 48K (ROADMAP r3).  This
+module closes that capability gap by TIERING the cache:
+
+* **Cold tier** — the (immutable after prefill) prompt KV lives in
+  ``pinned_host`` memory as per-chunk arrays ``(nl, B, KV, D, PC)`` uint8
+  payload + ``(nl, B, KV, 4G, PC)`` bf16 scales (the packed transposed
+  layout of engine/state.py).  Inside the jitted step a ``lax.scan`` over
+  layers takes the cold arrays as scan inputs: XLA slices them per layer
+  IN HOST MEMORY and ``jax.device_put`` streams just that layer's columns
+  over PCIe (measured ~14 GB/s effective on this fraction; a 12.9 GB host
+  scan runs without touching the HBM ceiling).
+
+* **Hot tier** — a small HBM window holds the decode tail; fresh KV is
+  quantized and written there exactly like the standard path.
+
+Per-layer attention is an exact two-part online-softmax combine: streamed
+blockwise stats over the cold tier + stats over the hot window.  Numerics
+match the in-HBM quantized-cache path to float tolerance and greedy decode
+is token-identical (tests/test_tiered.py).
+
+Prefill evicts as it goes: the prompt runs in PC-token chunks; each chunk's
+quantized KV is emitted straight to ``pinned_host`` via ``out_shardings``
+(no device-resident copy ever exists), and subsequent chunks stream the
+chunks already evicted.  Chunk programs are compiled per power-of-two cold
+slot count (dummy slots are masked), bounding remote compiles at
+``log2(n_chunks)+2`` for any window.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.config import ModelConfig
+from ..models import phi3
+from ..models.phi3 import _dense_at, _partition_heavy, _qkv_split
+from ..ops.linear import dense, embedding
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rotary, su_rope_tables
+from .state import (
+    KVCache,
+    LayerKV,
+    index_layer,
+    init_state,
+    quantize_chunk,
+    read_kv,
+    update_layer_chunk,
+)
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _host_sharding():
+    dev = jax.devices()[0]
+    return jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
+
+
+def _dev_sharding():
+    dev = jax.devices()[0]
+    return jax.sharding.SingleDeviceSharding(dev, memory_kind="device")
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Exact partial-attention stats (online-softmax pieces that combine exactly)
+# ---------------------------------------------------------------------------
+
+
+class AttnStats(NamedTuple):
+    m: jax.Array  # (B, KV, G, Lq) running max
+    l: jax.Array  # (B, KV, G, Lq) running sum of exp
+    acc: jax.Array  # (B, KV, G, Lq, D) unnormalized output
+
+
+def _zero_stats(b, kv, g, lq, d):
+    return AttnStats(
+        m=jnp.full((b, kv, g, lq), NEG_INF, jnp.float32),
+        l=jnp.zeros((b, kv, g, lq), jnp.float32),
+        acc=jnp.zeros((b, kv, g, lq, d), jnp.float32),
+    )
+
+
+def _fold_q(q, kv_heads: int):
+    """(B, H, Lq, D) -> (B, KV, H//KV, Lq, D) GQA grouping."""
+    b, h, lq, d = q.shape
+    return q.reshape(b, kv_heads, h // kv_heads, lq, d)
+
+
+def _update_stats(st: AttnStats, s, v):
+    """One key-block update.  s: (B,KV,G,Lq,Lk) f32 scores (already masked
+    with NEG_INF); v: (B,KV,Lk,D)."""
+    m_blk = s.max(axis=-1)
+    m_new = jnp.maximum(st.m, m_blk)
+    # all-masked-so-far rows keep m=NEG_INF; exp(NEG_INF - NEG_INF) would be
+    # exp(0)=1, so guard the rescale of the (all-zero) accumulator.
+    alpha = jnp.where(st.m > NEG_INF / 2, jnp.exp(st.m - m_new), 0.0)
+    p = jnp.exp(s - m_new[..., None])
+    l_new = alpha * st.l + p.sum(axis=-1)
+    acc = st.acc * alpha[..., None] + jnp.einsum(
+        "bkgql,bkld->bkgqd", p, v.astype(jnp.float32)
+    )
+    return AttnStats(m=m_new, l=l_new, acc=acc)
+
+
+def _stats_over(q, k, v, key_ok, scale, k_block: int, carry: AttnStats,
+                q_pos=None, key_pos0=None):
+    """Accumulate stats of q against (k, v) in key blocks.
+
+    q: (B, KV, G, Lq, D); k, v: (B, KV, Lk, D); key_ok: (B, Lk) bool.
+    q_pos (Lq,) + key_pos0 (scalar) add a causal condition
+    (key_pos <= q_pos) on top of key_ok.
+    """
+    b, kvh, g, lq, d = q.shape
+    lk = k.shape[2]
+    k_block = min(k_block, lk)
+    while lk % k_block:
+        k_block //= 2
+    nblk = lk // k_block
+
+    def body(st, i):
+        ks = lax.dynamic_slice_in_dim(k, i * k_block, k_block, 2)
+        vs = lax.dynamic_slice_in_dim(v, i * k_block, k_block, 2)
+        ok = lax.dynamic_slice_in_dim(key_ok, i * k_block, k_block, 1)
+        allowed = ok[:, None, None, None, :]  # (B,1,1,1,Lk)
+        if q_pos is not None:
+            kp = key_pos0 + i * k_block + jnp.arange(k_block)
+            allowed = allowed & (kp[None, :] <= q_pos[:, None])[None, None, None]
+        s = jnp.einsum(
+            "bkgqd,bkld->bkgql", (q * scale).astype(jnp.float32),
+            ks.astype(jnp.float32),
+        )
+        s = jnp.where(allowed, s, NEG_INF)
+        return _update_stats(st, s, vs), None
+
+    st, _ = lax.scan(body, carry, jnp.arange(nblk))
+    return st
+
+
+def _finalize(st: AttnStats, dtype):
+    l = jnp.where(st.l == 0.0, 1.0, st.l)
+    o = st.acc / l[..., None]  # (B,KV,G,Lq,D)
+    b, kvh, g, lq, d = o.shape
+    return o.reshape(b, kvh * g, lq, d).astype(dtype)
+
+
+def _dequant_cold(payload, scales, bits: int, dtype):
+    """Cold slot (B,KV,D|2D,PC) payload + (B,KV,4G,PC) scales -> k, v
+    (B,KV,PC,D) via the packed-layout reader (engine/state.py:read_kv)."""
+    return read_kv(LayerKV(k=payload, k_scales=scales), dtype, bits)
+
+
+# ---------------------------------------------------------------------------
+# The tiered layer pass (shared by prefill chunks and decode steps)
+# ---------------------------------------------------------------------------
+
+
+def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
+                   cold_k: Tuple, cold_s: Tuple, cold_valid, cos, sin,
+                   hot_offset, hot_valid, *, k_block: int, dev_sharding):
+    """Run all decoder layers with two-tier attention.
+
+    cold_k / cold_s: tuples of per-chunk stacked host arrays
+    (nl, B, KV, rows, PC); passed as scan xs so XLA host-slices per layer
+    and the body streams one layer's columns to device.
+    hot_kv: None during prefill (the chunk's own KV plays the "hot" role
+    via self-attention and is returned for eviction).
+    Returns (x, new_hot_kv, evicted (nl,B,KV,rows,L) + scales or None).
+    """
+    nl = cfg.num_hidden_layers
+    light, heavy = _partition_heavy(layer_params)
+    scale = cfg.head_dim ** -0.5
+    b, lq, _ = x.shape
+    kvh, g = cfg.num_key_value_heads, cfg.num_attention_heads // cfg.num_key_value_heads
+
+    def body(carry, xs):
+        y, hkv = carry
+        lp, i, ck, cs = xs
+        h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+        qkv = _dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, i)
+        q, k, v = _qkv_split(cfg, qkv)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        qg = _fold_q(q, kvh)
+
+        st = _zero_stats(b, kvh, g, lq, cfg.head_dim)
+        # cold tier: stream each chunk's layer slice host->device
+        for ci, (ck_c, cs_c) in enumerate(zip(ck, cs)):
+            pc = ck_c.shape[-1]
+            ck_d = jax.device_put(ck_c, dev_sharding)
+            cs_d = jax.device_put(cs_c, dev_sharding)
+            kc, vc = _dequant_cold(ck_d, cs_d, cfg.kv_quant.bits, y.dtype)
+            ok = lax.dynamic_slice_in_dim(cold_valid, ci * pc, pc, 1)
+            st = _stats_over(qg, kc, vc, ok, scale, k_block, st)
+
+        if hkv is not None:
+            # decode: write the fresh chunk into the hot window, attend over it
+            entries = quantize_chunk(k, v, cfg.kv_quant, hkv.quantized)
+            hkv = update_layer_chunk(hkv, i, hot_offset, entries)
+            kh, vh = read_kv(index_layer(hkv, i), y.dtype, cfg.kv_quant.bits)
+            hot_pos = jnp.arange(kh.shape[2])
+            ok_h = hot_valid & (hot_pos <= hot_offset + lq - 1)[None, :]
+            st = _stats_over(qg, kh, vh, ok_h, scale, k_block, st,
+                             q_pos=hot_offset + jnp.arange(lq), key_pos0=0)
+            evicted = None
+        else:
+            # prefill chunk: causal self-attention (quantize-then-read so the
+            # numerics match what later chunks/decodes will see)
+            entries = quantize_chunk(k, v, cfg.kv_quant, True)
+            kq, vq = _dequant_cold(entries.k, entries.k_scales,
+                                   cfg.kv_quant.bits, y.dtype)
+            ok_self = hot_valid  # (B, lq): this chunk's own validity
+            st = _stats_over(qg, kq, vq, ok_self, scale, k_block, st,
+                             q_pos=jnp.arange(lq), key_pos0=0)
+            evicted = entries
+
+        o = _finalize(st, y.dtype).transpose(0, 2, 1, 3).reshape(b, lq, -1)
+        y = y + _dense_at(lp, heavy, ("self_attn", "o_proj"), o, i).astype(y.dtype)
+        h = rms_norm(y, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+        gate_up = _dense_at(lp, heavy, ("mlp", "gate_up_proj"), h, i)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        mlp = _dense_at(
+            lp, heavy, ("mlp", "down_proj"),
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, i,
+        )
+        y = y + mlp.astype(y.dtype)
+        return (y, hkv), evicted
+
+    xs = (light, jnp.arange(nl), cold_k, cold_s)
+    (x, hot_kv), evicted = lax.scan(body, (x, hot_kv), xs)
+    return x, hot_kv, evicted
+
+
+# ---------------------------------------------------------------------------
+# Tiered state + prefill + decode
+# ---------------------------------------------------------------------------
+
+
+class TieredState:
+    """Host-managed two-tier decode state (NOT a jit pytree — the cold tier
+    is a list of pinned_host arrays threaded explicitly)."""
+
+    def __init__(self, cfg, cold_k: List, cold_s: List, cold_valid, hot,
+                 cos, sin, C: int, PC: int):
+        self.cfg = cfg
+        self.cold_k = cold_k  # list of (nl,B,KV,rows,PC) uint8 pinned_host
+        self.cold_s = cold_s  # list of (nl,B,KV,4G,PC) bf16 pinned_host
+        self.cold_valid = cold_valid  # (B, C) bool device
+        self.hot = hot  # DecodeState over the hot window (offset hot-relative)
+        self.cos = cos  # (B|1, C+H, D) full-window rope tables
+        self.sin = sin
+        self.C = C
+        self.PC = PC
+
+    @property
+    def window(self) -> int:
+        return self.C + self.hot.window
+
+    @property
+    def offset_abs(self):
+        return self.C + int(self.hot.offset)
+
+
+def _pad_to_chunks(dict_input, pc: int):
+    from .engine import pad_prompt_inputs
+
+    ids = np.asarray(dict_input["input_ids"])
+    l = ids.shape[1]
+    l_pad = max(-(-l // pc) * pc, pc)
+    return pad_prompt_inputs(dict_input, l_pad) + (l_pad,)
+
+
+class TieredEngine:
+    """Prefill-with-eviction + streamed decode over a tiered cache.
+
+    Usage::
+
+        eng = TieredEngine(lm, chunk=8192, hot=512)
+        state = eng.prefill(dict_input)           # cold tier fills up
+        tok, state = eng.first_token(state)
+        for _ in range(n):
+            tok, state = eng.decode_step(state, tok)
+    """
+
+    def __init__(self, lm, chunk: int = 4096, hot: int = 512,
+                 k_block: int = 2048):
+        cfg = lm.cfg
+        if not cfg.use_quantized_cache:
+            cfg = cfg.replace(use_quantized_cache=True)
+        self.lm = lm
+        self.cfg = cfg
+        self.pc = int(chunk)
+        self.hot_window = int(hot)
+        self.k_block = int(k_block)
+        self._prefill_fns = {}
+        self._decode_fns = {}
+        self._dummy = None  # shared masked filler for pow2 slot padding
+
+    # -- compiled programs --------------------------------------------------
+
+    def _dummy_slot(self):
+        if self._dummy is None:
+            cfg = self.cfg
+            nl, kvh, d = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                          cfg.head_dim)
+            g = max(1, d // cfg.kv_quant.group_size)
+            rows = d if cfg.kv_quant.bits == 4 else 2 * d
+            host = _host_sharding()
+            self._dummy = (
+                jax.device_put(jnp.zeros((nl, 1, kvh, rows, self.pc), jnp.uint8), host),
+                jax.device_put(jnp.ones((nl, 1, kvh, 4 * g, self.pc), jnp.bfloat16), host),
+            )
+        return self._dummy
+
+    def _prefill_fn(self, b: int, n_slots: int, w: int):
+        key = (b, n_slots, w)
+        if key in self._prefill_fns:
+            return self._prefill_fns[key]
+        cfg, pc, kb = self.cfg, self.pc, self.k_block
+        dev = _dev_sharding()
+        host = _host_sharding()
+
+        def fn(params, ids, cold_k, cold_s, cold_valid, valid_self, cos, sin):
+            mdl = params["model"]
+            x = embedding(mdl["embed_tokens"], ids).astype(jnp.dtype(cfg.dtype))
+            x, _, evicted = _tiered_layers(
+                cfg, mdl["layers"], x, None, cold_k, cold_s, cold_valid,
+                cos, sin, None, valid_self, k_block=kb, dev_sharding=dev,
+            )
+            x = rms_norm(x[:, -1:], mdl["norm"]["weight"], cfg.rms_norm_eps)
+            logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+            return logits[:, 0].astype(jnp.float32), evicted.k, evicted.k_scales
+
+        if jax.default_backend() == "tpu":
+            # evicted KV streams straight to pinned host as a program output
+            jfn = jax.jit(fn, out_shardings=(dev, host, host))
+        else:
+            # CPU backend can't annotate output placement; eager-move after
+            jfn_dev = jax.jit(fn)
+
+            def jfn(*args):
+                logits, ev_k, ev_s = jfn_dev(*args)
+                return (logits, jax.device_put(ev_k, host),
+                        jax.device_put(ev_s, host))
+
+        self._prefill_fns[key] = jfn
+        return self._prefill_fns[key]
+
+    def _decode_fn(self, b: int, n_chunks: int):
+        key = (b, n_chunks)
+        if key in self._decode_fns:
+            return self._decode_fns[key]
+        cfg, kb = self.cfg, self.k_block
+        dev = _dev_sharding()
+        C = n_chunks * self.pc  # static cold length for this program
+
+        def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
+               cold_s, cold_valid, cos, sin):
+            hot_kv = KVCache(*hot_kv_tree)
+            mdl = params["model"]
+            x = embedding(mdl["embed_tokens"], tok).astype(jnp.dtype(cfg.dtype))
+            pos = C + hot_offset
+            cos_t = lax.dynamic_slice_in_dim(cos, pos, 1, axis=1)
+            sin_t = lax.dynamic_slice_in_dim(sin, pos, 1, axis=1)
+            if cos_t.shape[0] == 1 and x.shape[0] > 1:
+                cos_t = jnp.broadcast_to(cos_t, (x.shape[0],) + cos_t.shape[1:])
+                sin_t = jnp.broadcast_to(sin_t, (x.shape[0],) + sin_t.shape[1:])
+            x, hot_kv, _ = _tiered_layers(
+                cfg, mdl["layers"], x, hot_kv, cold_k, cold_s, cold_valid,
+                cos_t, sin_t, hot_offset, hot_valid, k_block=kb,
+                dev_sharding=dev,
+            )
+            x = rms_norm(x[:, -1:], mdl["norm"]["weight"], cfg.rms_norm_eps)
+            logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+            return logits[:, 0].astype(jnp.float32), tuple(hot_kv)
+
+        self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._decode_fns[key]
+
+    # -- public API ----------------------------------------------------------
+
+    def prefill(self, dict_input: dict) -> Tuple[np.ndarray, TieredState]:
+        """Chunked prefill with per-chunk eviction to host memory.
+
+        Returns (last-position logits (B, V) f32, state).
+        """
+        lm, cfg, pc = self.lm, self.cfg, self.pc
+        ids_p, pids_p, valid_p, l_pad = _pad_to_chunks(dict_input, pc)
+        b = ids_p.shape[0]
+        n_chunks = l_pad // pc
+        W = l_pad + self.hot_window
+        cos, sin = su_rope_tables(cfg, W, jnp.asarray(pids_p))
+        host = _host_sharding()
+        cold_k: List = []
+        cold_s: List = []
+        valid_dev = jnp.asarray(valid_p)
+        logits = None
+        for c in range(n_chunks):
+            n_slots = _next_pow2(c) if c else 0
+            fn = self._prefill_fn(b, n_slots, W)
+            dk, ds = (self._dummy_slot() if n_slots > c else (None, None))
+            slots_k = tuple(cold_k[:c]) + tuple([dk] * (n_slots - c))
+            slots_s = tuple(cold_s[:c]) + tuple([ds] * (n_slots - c))
+            # validity over the n_slots*pc cold columns this program sees
+            cv = np.zeros((b, max(n_slots, 1) * pc), bool)
+            cv[:, : c * pc] = valid_p[:, : c * pc]
+            cos_c = lax.dynamic_slice_in_dim(cos, c * pc, pc, axis=1)
+            sin_c = lax.dynamic_slice_in_dim(sin, c * pc, pc, axis=1)
+            logits, ev_k, ev_s = fn(
+                lm.params, jnp.asarray(ids_p[:, c * pc : (c + 1) * pc]),
+                slots_k, slots_s, jnp.asarray(cv),
+                valid_dev[:, c * pc : (c + 1) * pc], cos_c, sin_c,
+            )
+            cold_k.append(ev_k)
+            cold_s.append(ev_s)
+        hot = init_state(cfg, b, 0, self.hot_window,
+                         compute_dtype=jnp.dtype(cfg.dtype))
+        state = TieredState(cfg, cold_k, cold_s, valid_dev, hot, cos, sin,
+                            C=l_pad, PC=pc)
+        return np.asarray(jax.device_get(logits), np.float32), state
+
+    def decode_step(self, state: TieredState, tok) -> Tuple[np.ndarray, TieredState]:
+        """One greedy-ready step: (B,1) token ids -> (B, V) f32 logits."""
+        fn = self._decode_fn(state.hot.valid.shape[0], len(state.cold_k))
+        logits, hot_kv = fn(
+            self.lm.params, jnp.asarray(tok), tuple(state.hot.kv),
+            state.hot.offset, state.hot.valid, tuple(state.cold_k),
+            tuple(state.cold_s), state.cold_valid, state.cos, state.sin,
+        )
+        state.hot = state.hot._replace(
+            kv=KVCache(*hot_kv), offset=state.hot.offset + 1
+        )
+        return logits, state
+
+    def generate(self, dict_input: dict, max_tokens: int,
+                 eos_id: Optional[int] = None) -> List[int]:
+        """Greedy tiered generation; returns emitted token ids (B=1)."""
+        if max_tokens > self.hot_window:
+            raise ValueError(
+                f"max_tokens {max_tokens} exceeds the hot window "
+                f"{self.hot_window}; raise hot= at construction"
+            )
+        logits, state = self.prefill(dict_input)
+        tok = int(np.argmax(logits[0]))
+        out = [tok]
+        for _ in range(max_tokens - 1):
+            if eos_id is not None and tok == eos_id:
+                break
+            logits, state = self.decode_step(state, np.array([[tok]], np.int32))
+            tok = int(np.argmax(np.asarray(jax.device_get(logits))[0]))
+            out.append(tok)
+        return out

@@ -105,7 +105,9 @@ class ContinuousScheduler:
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
                  paged: bool = False, **engine_kw):
+        import os
         import threading
+        from collections import deque
 
         if paged:
             from ..engine.paging import PagedBatchEngine as Engine
@@ -118,26 +120,71 @@ class ContinuousScheduler:
         # in-lock, stalling admissions and result pickup for its duration).
         self.engine.resume_in_step = False
         self._cv = threading.Condition()
+        # Admission queue: handler threads enqueue tickets; one admission
+        # worker drains up to PHI3V_TPU_ADMIT_BATCH of them into a SINGLE
+        # batched prefill dispatch (engine.prepare_many) outside the lock.
+        self._tickets = deque()
+        self._admit_batch = max(1, int(os.environ.get(
+            "PHI3V_TPU_ADMIT_BATCH", str(min(8, max(2, slots))))))
+        threading.Thread(target=self._admission_worker, daemon=True).start()
         threading.Thread(target=self._pump, daemon=True).start()
 
     def complete(self, prompt: str, max_tokens: int,
                  temperature: float = 0.0, top_p: float = 1.0,
                  top_k: int = 0, min_p: float = 0.0, stop=None) -> str:
-        # Prefill outside the lock: active slots keep decoding while this
-        # thread's prompt runs through the (possibly chunked) prefill.
-        prepared = self.engine.prepare(
-            prompt, max_tokens, temperature=temperature, top_p=top_p,
-            top_k=top_k, min_p=min_p, stop=stop,
-        )
+        ticket = {
+            "prompt": prompt,
+            "opts": dict(max_tokens=max_tokens, temperature=temperature,
+                         top_p=top_p, top_k=top_k, min_p=min_p, stop=stop),
+            "rid": None, "error": None,
+        }
         with self._cv:
-            while not self.engine.can_admit(prepared):
-                self._cv.wait()
-            rid = self.engine.admit(prepared)
+            self._tickets.append(ticket)
             self._cv.notify_all()
-            req = self.engine.requests[rid]
+            while ticket["rid"] is None and ticket["error"] is None:
+                self._cv.wait()
+            if ticket["error"] is not None:
+                raise RuntimeError(ticket["error"])
+            req = self.engine.requests[ticket["rid"]]
             while not req.done:
                 self._cv.wait()
-            return self.engine.result(rid)  # raises if the request failed
+            return self.engine.result(ticket["rid"])  # raises if failed
+
+    def _admission_worker(self):
+        """Drain queued tickets into batched prefill dispatches.
+
+        The prefill (the expensive weight pass) runs OUTSIDE the condition
+        lock so the pump keeps decoding; only the cheap per-row cache
+        adoption serializes with it.  Tickets arriving while a batch
+        prefills ride the next batch — under bursts this converges to
+        slots-sized prefill batches instead of one dispatch per request.
+        """
+        while True:
+            with self._cv:
+                while not self._tickets:
+                    self._cv.wait()
+                n = min(len(self._tickets), self._admit_batch)
+                batch = [self._tickets.popleft() for _ in range(n)]
+            try:
+                prepared = self.engine.prepare_many(
+                    [t["prompt"] for t in batch],
+                    [t["opts"] for t in batch],
+                )
+            except Exception as e:
+                with self._cv:
+                    for t in batch:
+                        t["error"] = f"{type(e).__name__}: {e}"
+                    self._cv.notify_all()
+                continue
+            for t, p in zip(batch, prepared):
+                with self._cv:
+                    while not self.engine.can_admit(p):
+                        self._cv.wait()
+                    try:
+                        t["rid"] = self.engine.admit(p)
+                    except Exception as e:
+                        t["error"] = f"{type(e).__name__}: {e}"
+                    self._cv.notify_all()
 
     def _pump(self):
         import os

@@ -1,0 +1,96 @@
+"""Tiered (host-offloaded) KV cache vs the in-HBM quantized-cache path.
+
+The tiered engine (engine/tiered.py) must be numerically interchangeable
+with the standard path at any window size — these tests pin that down at
+CPU-testable scale: same padded inputs, same quantization, logits close and
+greedy tokens identical.  The pinned_host placement itself is exercised for
+real (the CPU backend supports memory kinds), so eviction via out_shardings
+and the scan-over-host-xs streaming both run here, just small.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phi_3_vision_mlx_tpu.core.config import preset
+from phi_3_vision_mlx_tpu.engine import engine as E
+from phi_3_vision_mlx_tpu.engine.tiered import TieredEngine, _pad_to_chunks
+from phi_3_vision_mlx_tpu.models import phi3
+
+CFG = preset("tiny", use_quantized_cache=True)
+PC, HOT = 64, 64
+
+
+@pytest.fixture(scope="module")
+def lm():
+    params = phi3.init_params(CFG, jax.random.PRNGKey(0))
+    return E.LM(CFG, params)
+
+
+def _standard_reference(lm, dict_input, n_steps: int):
+    """In-HBM quantized-cache prefill + greedy decode over the SAME padded
+    window the tiered engine uses."""
+    ids_p, pids_p, valid_p, l_pad = _pad_to_chunks(dict_input, PC)
+    res = phi3.prefill(
+        lm.params, CFG, jnp.asarray(ids_p), max_tokens=HOT,
+        pids=jnp.asarray(pids_p), prompt_valid=jnp.asarray(valid_p),
+        last_logit_only=True,
+    )
+    logits = np.asarray(res.logits[:, -1], np.float32)
+    state = res.state
+    tok = int(np.argmax(logits[0]))
+    toks, logs = [tok], [logits]
+    for _ in range(n_steps):
+        r = phi3.decode_forward(params=lm.params, cfg=CFG, state=state,
+                                input_ids=jnp.asarray([[tok]], jnp.int32))
+        state = r.state
+        logits = np.asarray(r.logits[:, -1], np.float32)
+        tok = int(np.argmax(logits[0]))
+        toks.append(tok)
+        logs.append(logits)
+    return toks, logs
+
+
+def test_tiered_matches_in_hbm_path(lm):
+    """3 cold chunks + hot decode: prefill logits close, greedy identical."""
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, CFG.vocab_size, (1, 150)).astype(np.int32)
+    dict_input = {"input_ids": ids}
+    n_steps = 6
+
+    ref_toks, ref_logs = _standard_reference(lm, dict_input, n_steps)
+
+    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
+    logits, state = eng.prefill(dict_input)
+    assert len(state.cold_k) == 3 and state.C == 192
+    assert state.cold_k[0].sharding.memory_kind == "pinned_host"
+    np.testing.assert_allclose(logits, ref_logs[0], rtol=3e-3, atol=3e-3)
+    tok = int(np.argmax(logits[0]))
+    toks = [tok]
+    for i in range(n_steps):
+        logits, state = eng.decode_step(state, np.array([[tok]], np.int32))
+        logits = np.asarray(jax.device_get(logits), np.float32)
+        np.testing.assert_allclose(logits, ref_logs[i + 1], rtol=3e-3, atol=3e-3)
+        tok = int(np.argmax(logits[0]))
+        toks.append(tok)
+    assert toks == ref_toks
+
+
+def test_tiered_generate_short_prompt(lm):
+    """A prompt shorter than one chunk still works (single cold chunk with
+    left-pad masking) and matches the standard path."""
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, CFG.vocab_size, (1, 20)).astype(np.int32)
+    dict_input = {"input_ids": ids}
+    ref_toks, _ = _standard_reference(lm, dict_input, 5)
+
+    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
+    toks = eng.generate(dict_input, max_tokens=6)
+    assert toks == ref_toks[:6]
+
+
+def test_tiered_rejects_overlong_decode(lm):
+    eng = TieredEngine(lm, chunk=PC, hot=8)
+    with pytest.raises(ValueError):
+        eng.generate({"input_ids": np.array([[3, 4, 5]])}, max_tokens=64)
