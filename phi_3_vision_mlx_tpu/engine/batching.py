@@ -236,17 +236,21 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
 
 
 def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
-                       n_passes: int, k_draft: int, eos_id: int = 0):
+                       n_passes: int, k_draft: int, eos_id: int = 0,
+                       temps=None, top_ps=None, top_ks=None, min_ps=None,
+                       key=None):
     """``n_passes`` speculative verify passes for every slot in ONE dispatch.
 
     Per pass each slot proposes K draft tokens from its token history
     (prompt-lookup, engine/speculative.py) and verifies them in a single
     (S, K+1) forward; accepted drafts advance that slot's offset by 1..K+1,
-    so one weight pass serves up to K+1 tokens *per slot*.  Greedy only;
-    each slot's emitted stream is bit-identical to :func:`_decode_chunk`'s
+    so one weight pass serves up to K+1 tokens *per slot*.  Greedy rows'
+    emitted streams are bit-identical to :func:`_decode_chunk`'s
     (on TPU with the int4-quantized cache, identical up to fp-shape noise at
     quantization boundaries — see paging._paged_spec_decode_chunk's
-    exactness note, which applies to both slot engines).
+    exactness note, which applies to both slot engines); sampled rows
+    (``temps`` vectors set) use rejection-sampled verification and are
+    distribution-exact (engine/speculative.py:verify_mixed_rows).
 
     Slots whose window cannot absorb a worst-case pass go dead (``n_emit``
     0, no writes — the host finalizes them as window-full).  Returns
@@ -264,8 +268,11 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     kk1 = k_draft + 1
     ar = jnp.arange(kk1)
 
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
     def one_pass(carry, _):
-        tok, offsets, valid, kv_k, kv_v, buf = carry
+        tok, offsets, valid, kv_k, kv_v, buf, k_it = carry
         live = active & (offsets + kk1 <= w)
         draft = propose_drafts(buf, valid, tok[:, None], offsets, k_draft)
         ids = jnp.concatenate([tok[:, None], draft], axis=1)  # (S, kk1)
@@ -348,9 +355,17 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
         logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
         lg = logits.astype(jnp.float32)  # (S, kk1, V)
         lp_all = jax.nn.log_softmax(lg, axis=-1)
-        out = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (S, kk1)
-        match = (draft == out[:, :-1]).astype(jnp.int32)
-        acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (S,)
+        k_it, k_use = jax.random.split(k_it)
+        if temps is None:
+            out = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (S, kk1)
+            match = (draft == out[:, :-1]).astype(jnp.int32)
+            acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (S,)
+        else:
+            from .speculative import verify_mixed_rows
+
+            out, acc = verify_mixed_rows(
+                lg, draft, k_use, temps, top_ps, top_ks, min_ps
+            )
         n_emit = jnp.where(live, acc + 1, 0)
 
         new_valid = valid | (
@@ -360,10 +375,10 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
         new_offsets = offsets + n_emit
         new_tok = jnp.where(live, out[slot_ids, acc], tok)
         stats = (out, lp_all.max(axis=-1), lp_all[..., eos_id], n_emit)
-        return (new_tok, new_offsets, new_valid, kv_k, kv_v, buf), stats
+        return (new_tok, new_offsets, new_valid, kv_k, kv_v, buf, k_it), stats
 
-    carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v, st.buf)
-    (tok_f, off_f, valid_f, kv_k, kv_v, buf_f), (toks, maxlp, eoslp, n_emits) = (
+    carry0 = (st.tokens, st.offsets, st.valid, st.kv_k, st.kv_v, st.buf, key)
+    (tok_f, off_f, valid_f, kv_k, kv_v, buf_f, _), (toks, maxlp, eoslp, n_emits) = (
         lax.scan(one_pass, carry0, jnp.arange(n_passes))
     )
     return toks, maxlp, eoslp, n_emits, SlotState(
@@ -795,11 +810,11 @@ class BatchEngine:
             return None
         temps, tops, topks, minps = self._sampling_vectors()
         self._tail_slots &= set(self.by_slot)
-        use_spec = bool(self.spec_k and temps is None and not self._tail_slots)
+        use_spec = bool(self.spec_k and not self._tail_slots)
         if not self._reserve(n_steps, use_spec):
             return None
         if use_spec:
-            return self._dispatch_spec(n_steps)
+            return self._dispatch_spec(n_steps, (temps, tops, topks, minps))
         sampling = temps is not None
         fn = self._plain_fn(n_steps, sampling)
         active = np.zeros((self.slots,), bool)
@@ -905,31 +920,43 @@ class BatchEngine:
         prev, self._inflight = self._inflight, h
         return self.collect(prev)  # collect(None) still drains orphaned tokens
 
-    def _spec_fn(self, n_passes: int):
+    def _spec_fn(self, n_passes: int, sampling: bool):
         """Compiled speculative chunk (subclasses swap the state/step impl)."""
-        fkey = ("spec", n_passes, self.spec_k)
+        fkey = ("spec", n_passes, self.spec_k, sampling)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
 
-            def f(params, tree, active, _n=n_passes, _k=self.spec_k):
+            def f(params, tree, active, temps, tops, topks, minps, key,
+                  _n=n_passes, _k=self.spec_k, _s=sampling):
                 toks, maxlp, eoslp, n_emits, st = _spec_decode_chunk(
                     params, cfg, SlotState.from_tree(tree), active, _n, _k,
                     eos_id=eos_id,
+                    temps=temps if _s else None,
+                    top_ps=tops if _s else None,
+                    top_ks=topks if _s else None,
+                    min_ps=minps if _s else None, key=key,
                 )
                 return toks, maxlp, eoslp, n_emits, st.tree()
 
             self._step_fns[fkey] = jax.jit(f, donate_argnums=(1,))
         return self._step_fns[fkey]
 
-    def _dispatch_spec(self, n_passes: int):
+    def _dispatch_spec(self, n_passes: int, sampling_vecs=None):
         """Enqueue a speculative chunk: ``n_passes`` verify passes."""
-        fn = self._spec_fn(n_passes)
+        temps, tops, topks, minps = sampling_vecs or (None,) * 4
+        sampling = temps is not None
+        fn = self._spec_fn(n_passes, sampling)
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
         self._chunk_i += 1
         toks, maxlp, eoslp, n_emits, tree = fn(
-            self.lm.params, self.state.tree(), jnp.asarray(active)
+            self.lm.params, self.state.tree(), jnp.asarray(active),
+            temps if sampling else jnp.zeros((self.slots,), jnp.float32),
+            tops if sampling else jnp.ones((self.slots,), jnp.float32),
+            topks if sampling else jnp.zeros((self.slots,), jnp.int32),
+            minps if sampling else jnp.zeros((self.slots,), jnp.float32),
+            jax.random.fold_in(self._base_key, self._chunk_i),
         )
         self.state = type(self.state).from_tree(tree)
         return _ChunkHandle(

@@ -62,19 +62,19 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def sample_token(logits, key, temperature: float, top_p: float,
-                 top_k: int = 0, min_p: float = 0.0):
-    """Temperature + nucleus (top-p) / top-k / min-p sampling, on-device.
+def filter_sample_logits(logits, temperature: float, top_p: float,
+                         top_k: int = 0, min_p: float = 0.0):
+    """Temperature-scale + filter logits for sampling (the distribution half
+    of :func:`sample_token`, shared with speculative rejection sampling).
 
-    The reference decodes greedily only (argmax, phi_3_vision_mlx.py:386);
-    this is the serving-grade extension.  ``top_p >= 1`` / ``top_k <= 0`` /
-    ``min_p <= 0`` each disable that filter.  Enabled filters are computed
-    independently over the temperature-scaled distribution and intersected
-    (keep = above EVERY enabled threshold) — not sequentially renormalized.
-    The top-1 token satisfies every threshold, so extreme settings degrade
-    to greedy rather than to an empty support set.
+    ``top_p >= 1`` / ``top_k <= 0`` / ``min_p <= 0`` each disable that
+    filter.  Enabled filters are computed independently over the
+    temperature-scaled distribution and intersected (keep = above EVERY
+    enabled threshold) — not sequentially renormalized.  The top-1 token
+    satisfies every threshold, so extreme settings degrade to greedy rather
+    than to an empty support set.
 
-    logits: (B, V) f32; returns (B,) int32.
+    logits: (..., V) f32; returns filtered (..., V) f32 logits.
     """
     logits = logits / jnp.maximum(temperature, 1e-6)
     thresh = None
@@ -92,7 +92,7 @@ def sample_token(logits, key, temperature: float, top_p: float,
             )
         if top_k > 0:
             k = min(int(top_k), logits.shape[-1])
-            tk = sorted_desc[:, k - 1 : k]
+            tk = sorted_desc[..., k - 1 : k]
             thresh = tk if thresh is None else jnp.maximum(thresh, tk)
     if min_p > 0.0:
         # p(tok) >= min_p * p(max)  <=>  logit >= max_logit + log(min_p)
@@ -100,7 +100,51 @@ def sample_token(logits, key, temperature: float, top_p: float,
         thresh = tm if thresh is None else jnp.maximum(thresh, tm)
     if thresh is not None:
         logits = jnp.where(logits >= thresh, logits, -jnp.inf)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def sample_token(logits, key, temperature: float, top_p: float,
+                 top_k: int = 0, min_p: float = 0.0):
+    """Temperature + nucleus (top-p) / top-k / min-p sampling, on-device.
+
+    The reference decodes greedily only (argmax, phi_3_vision_mlx.py:386);
+    this is the serving-grade extension.  See :func:`filter_sample_logits`
+    for the filter semantics.  logits: (B, V) f32; returns (B,) int32.
+    """
+    return jax.random.categorical(
+        key, filter_sample_logits(logits, temperature, top_p, top_k, min_p),
+        axis=-1,
+    ).astype(jnp.int32)
+
+
+def filter_sample_logits_rows(logits, temps, top_ps, top_ks=None, min_ps=None):
+    """Per-row variant of :func:`filter_sample_logits` with ``(B,)`` device
+    knob vectors; logits may be (B, V) or (B, L, V) (knobs broadcast over
+    middle axes).  Returns filtered, temperature-scaled logits."""
+    exp = lambda v: v.reshape(v.shape[0], *([1] * (logits.ndim - 2)))
+    scaled = logits / jnp.maximum(exp(temps), 1e-6)[..., None]
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.sum(cum - probs < exp(top_ps)[..., None], axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_desc, jnp.maximum(keep - 1, 0), axis=-1)
+    if top_ks is not None:
+        kidx = jnp.broadcast_to(
+            jnp.clip(exp(top_ks), 1, scaled.shape[-1])[..., None] - 1,
+            keep.shape,
+        )
+        tk = jnp.take_along_axis(sorted_desc, kidx, axis=-1)
+        thresh = jnp.maximum(
+            thresh, jnp.where((exp(top_ks) > 0)[..., None], tk, -jnp.inf)
+        )
+    if min_ps is not None:
+        tm = scaled.max(axis=-1, keepdims=True) + jnp.log(
+            jnp.maximum(exp(min_ps), 1e-38)
+        )[..., None]
+        thresh = jnp.maximum(
+            thresh, jnp.where((exp(min_ps) > 0)[..., None], tm, -jnp.inf)
+        )
+    return jnp.where(scaled >= thresh, scaled, -jnp.inf)
 
 
 def sample_token_rows(logits, key, temps, top_ps, top_ks=None, min_ps=None):
@@ -115,22 +159,7 @@ def sample_token_rows(logits, key, temps, top_ps, top_ks=None, min_ps=None):
     :func:`sample_token`'s semantics.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-    sorted_desc = -jnp.sort(-scaled, axis=-1)
-    probs = jax.nn.softmax(sorted_desc, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = jnp.sum(cum - probs < top_ps[:, None], axis=-1, keepdims=True)
-    thresh = jnp.take_along_axis(sorted_desc, jnp.maximum(keep - 1, 0), axis=-1)
-    if top_ks is not None:
-        kidx = jnp.clip(top_ks, 1, scaled.shape[-1])[:, None] - 1
-        tk = jnp.take_along_axis(sorted_desc, kidx, axis=-1)
-        thresh = jnp.maximum(thresh, jnp.where((top_ks > 0)[:, None], tk, -jnp.inf))
-    if min_ps is not None:
-        tm = scaled.max(axis=-1, keepdims=True) + jnp.log(
-            jnp.maximum(min_ps, 1e-38)
-        )[:, None]
-        thresh = jnp.maximum(thresh, jnp.where((min_ps > 0)[:, None], tm, -jnp.inf))
-    filtered = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+    filtered = filter_sample_logits_rows(logits, temps, top_ps, top_ks, min_ps)
     sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
 
@@ -641,10 +670,11 @@ def generate_text(
     chunk, chunk_max = _chunk_schedule()
     chunk_i = 0
 
-    # Prompt-lookup speculative decoding (engine/speculative.py): greedy,
-    # single-stream only.  Emits 1..K+1 tokens per weight pass; the emitted
-    # stream is bit-identical to the vanilla greedy path.
-    use_spec = bool(speculative) and sampler is None and b == 1
+    # Prompt-lookup speculative decoding (engine/speculative.py),
+    # single-stream only.  Emits 1..K+1 tokens per weight pass; greedy is
+    # bit-identical to the vanilla path, sampling composes via
+    # rejection-sampled verification (distribution-exact).
+    use_spec = bool(speculative) and b == 1
     spec_buf = None
     if use_spec:
         from .speculative import init_token_buffer, spec_chunk_fn
@@ -662,10 +692,13 @@ def generate_text(
                 # The scan self-limits on device (budget + window guard), so
                 # one compiled size serves the whole generation; a dispatch
                 # with room for >= 1 iteration always makes progress.
-                fn = spec_chunk_fn(lm, window, spec_iters, spec_k)
+                fn = spec_chunk_fn(lm, window, spec_iters, spec_k,
+                                   sampler=sampler)
                 budget = jnp.asarray(max_tokens - n_emitted, jnp.int32)
+                chunk_i += 1
+                spec_key = jax.random.fold_in(base_key, 1_000_000 + chunk_i)
                 tok_dev, state, spec_buf, toks_s, maxlp_s, eoslp_s, n_emits = fn(
-                    lm.params, tok_dev, state, spec_buf, budget
+                    lm.params, tok_dev, state, spec_buf, budget, spec_key
                 )
                 toks_s, maxlp_s, eoslp_s, n_emits = jax.device_get(
                     (toks_s, maxlp_s, eoslp_s, n_emits)

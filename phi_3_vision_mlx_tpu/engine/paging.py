@@ -288,7 +288,8 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
 
 def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
                              page: int, n_passes: int, k_draft: int,
-                             eos_id: int = 0):
+                             eos_id: int = 0, temps=None, top_ps=None,
+                             top_ks=None, min_ps=None, key=None):
     """``n_passes`` speculative verify passes over the paged pool — the
     paged counterpart of batching._spec_decode_chunk.  The host pre-maps
     every page a worst-case chunk can touch (n_passes * (K+1) columns per
@@ -321,8 +322,11 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
     ar = jnp.arange(kk1)
     gather_pt = jnp.minimum(st.page_tables, pool_pages - 1)  # (S, mp)
 
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
     def one_pass(carry, _):
-        tok, offsets, valid, pk, pv, buf = carry
+        tok, offsets, valid, pk, pv, buf, k_it = carry
         live = active & (offsets + kk1 <= w)
         draft = propose_drafts(buf, valid, tok[:, None], offsets, k_draft)
         ids = jnp.concatenate([tok[:, None], draft], axis=1)  # (S, kk1)
@@ -452,9 +456,17 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
         logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
         lg = logits.astype(jnp.float32)  # (S, kk1, V)
         lp_all = jax.nn.log_softmax(lg, axis=-1)
-        out = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        match = (draft == out[:, :-1]).astype(jnp.int32)
-        acc = jnp.cumprod(match, axis=1).sum(axis=1)
+        k_it, k_use = jax.random.split(k_it)
+        if temps is None:
+            out = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            match = (draft == out[:, :-1]).astype(jnp.int32)
+            acc = jnp.cumprod(match, axis=1).sum(axis=1)
+        else:
+            from .speculative import verify_mixed_rows
+
+            out, acc = verify_mixed_rows(
+                lg, draft, k_use, temps, top_ps, top_ks, min_ps
+            )
         n_emit = jnp.where(live, acc + 1, 0)
 
         new_valid = valid | (
@@ -464,10 +476,11 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
         new_offsets = offsets + n_emit
         new_tok = jnp.where(live, out[slot_ids, acc], tok)
         stats = (out, lp_all.max(axis=-1), lp_all[..., eos_id], n_emit)
-        return (new_tok, new_offsets, new_valid, pk, pv, buf), stats
+        return (new_tok, new_offsets, new_valid, pk, pv, buf, k_it), stats
 
-    carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v, st.buf)
-    (tok_f, off_f, valid_f, pk, pv, buf_f), (toks, maxlp, eoslp, n_emits) = (
+    carry0 = (st.tokens, st.offsets, st.valid, st.pool_k, st.pool_v, st.buf,
+              key)
+    (tok_f, off_f, valid_f, pk, pv, buf_f, _), (toks, maxlp, eoslp, n_emits) = (
         lax.scan(one_pass, carry0, jnp.arange(n_passes))
     )
     return toks, maxlp, eoslp, n_emits, PagedState(
@@ -778,16 +791,21 @@ class PagedBatchEngine(BatchEngine):
         last = min(start + n_steps - 1, self.window - 1)
         return last // self.page_size + 1
 
-    def _spec_fn(self, n_passes: int):
-        fkey = ("spec", n_passes, self.spec_k)
+    def _spec_fn(self, n_passes: int, sampling: bool):
+        fkey = ("spec", n_passes, self.spec_k, sampling)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
             page = self.page_size
 
-            def f(params, tree, active, _n=n_passes, _k=self.spec_k):
+            def f(params, tree, active, temps, tops, topks, minps, key,
+                  _n=n_passes, _k=self.spec_k, _s=sampling):
                 toks, maxlp, eoslp, n_emits, st = _paged_spec_decode_chunk(
                     params, cfg, PagedState.from_tree(tree), active, page, _n,
                     _k, eos_id=eos_id,
+                    temps=temps if _s else None,
+                    top_ps=tops if _s else None,
+                    top_ks=topks if _s else None,
+                    min_ps=minps if _s else None, key=key,
                 )
                 return toks, maxlp, eoslp, n_emits, st.tree()
 

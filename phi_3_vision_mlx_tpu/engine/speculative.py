@@ -10,10 +10,12 @@ already in the window ("prompt lookup" — no draft model), which is strong
 whenever generation echoes the context: summarization, extraction, RAG,
 code edits, constrained form-filling.
 
-Exactness: acceptance is argmax-match, so the emitted stream is
+Exactness: greedy acceptance is argmax-match, so the emitted stream is
 bit-identical to vanilla greedy decode (the reference's only decode mode,
-/root/reference/phi_3_vision_mlx.py:386).  The reference has no
-speculative path; this is a beyond-parity TPU feature.
+/root/reference/phi_3_vision_mlx.py:386).  Sampled decode composes via
+rejection-sampling verification (:func:`verify_sampled`) — each emitted
+token is distributed exactly as vanilla sampling from the filtered target.
+The reference has no speculative path; this is a beyond-parity TPU feature.
 
 TPU-native mechanics (everything inside one ``lax.scan``; the host sees
 only token ids + per-position logit stats):
@@ -27,8 +29,8 @@ only token ids + per-position logit stats):
   already invisible (``key_pos <= q_pos`` masking, models/phi3.py) and
   the next iteration's chunk write covers them, so rollback is free.
 
-Restricted to batch 1 (the cache offset is a shared scalar) and greedy
-sampling — exactly the single-stream case the technique accelerates.
+Restricted to batch 1 (the cache offset is a shared scalar) — exactly the
+single-stream case the technique accelerates.
 """
 
 from __future__ import annotations
@@ -88,7 +90,88 @@ def propose_drafts(buf, valid, tok, off, k_draft: int):
     return jnp.maximum(jnp.take_along_axis(buf, pos, axis=1), 0)
 
 
-def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
+def verify_sampled(logits, draft, key, temperature: float, top_p: float,
+                   top_k: int = 0, min_p: float = 0.0):
+    """Rejection-sampling verification of drafted tokens (Leviathan-style,
+    specialized to a DETERMINISTIC draft proposal q = delta(d_t)):
+
+    * accept draft ``d_t`` with probability ``p_t(d_t)`` (``min(1, p/q)``
+      with q=1 at the draft token);
+    * on the first rejection, resample from the residual
+      ``(p - q)+ / Z`` — i.e. ``p_t`` with ``d_t`` masked out, renormalized;
+    * if every draft is accepted, sample the bonus token from ``p_K``.
+
+    Each emitted token is distributed EXACTLY as token-by-token sampling
+    from the filtered target distribution (tests/test_speculative.py runs
+    the empirical-distribution check).
+
+    logits: (B, K+1, V) f32 raw target logits at the drafted positions;
+    draft: (B, K) int32.  Returns (out (B, K+1) int32, n_emit (B,) int32)
+    with out[:, t] = draft[:, t] for t < acc and out[:, acc] the
+    resampled/bonus token — the same layout the greedy path emits.
+    """
+    from .engine import filter_sample_logits
+
+    b, kp1, _ = logits.shape
+    k = kp1 - 1
+    f = filter_sample_logits(logits, temperature, top_p, top_k, min_p)
+    probs = jax.nn.softmax(f, axis=-1)  # (B, K+1, V)
+    kd, kr, kb = jax.random.split(key, 3)
+    p_draft = jnp.take_along_axis(probs[:, :k], draft[..., None], axis=-1)[..., 0]
+    accept = jax.random.uniform(kd, (b, k)) < p_draft
+    acc = jnp.cumprod(accept.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
+    # residual: target with the (rejected) draft token removed, renormalized
+    res_logits = jnp.where(
+        jax.nn.one_hot(draft, f.shape[-1], dtype=bool), -jnp.inf, f[:, :k]
+    )
+    resample = jax.random.categorical(kr, res_logits, axis=-1).astype(jnp.int32)
+    bonus = jax.random.categorical(kb, f[:, k], axis=-1).astype(jnp.int32)
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    out = jnp.where(pos < acc[:, None], draft, resample)
+    out = jnp.concatenate([out, bonus[:, None]], axis=1)
+    return out, acc + 1
+
+
+def verify_mixed_rows(logits, draft, key, temps, top_ps, top_ks, min_ps):
+    """Per-row verification for the slot engines: rows with ``temps <= 0``
+    use greedy argmax-match acceptance; sampled rows use rejection-sampling
+    verification against their own filtered target (the per-row analogue of
+    :func:`verify_sampled`).
+
+    logits: (S, K+1, V) f32; draft: (S, K) int32; knobs: (S,) vectors.
+    Returns (out (S, K+1) int32, acc (S,) int32).
+    """
+    from .engine import filter_sample_logits_rows
+
+    s, kp1, _ = logits.shape
+    k = kp1 - 1
+    out_g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    match = (draft == out_g[:, :-1]).astype(jnp.int32)
+    acc_g = jnp.cumprod(match, axis=1).sum(axis=1)
+
+    f = filter_sample_logits_rows(logits, temps, top_ps, top_ks, min_ps)
+    probs = jax.nn.softmax(f, axis=-1)
+    kd, kr, kb = jax.random.split(key, 3)
+    p_draft = jnp.take_along_axis(probs[:, :k], draft[..., None], axis=-1)[..., 0]
+    accept = jax.random.uniform(kd, (s, k)) < p_draft
+    acc_s = jnp.cumprod(accept.astype(jnp.int32), axis=1).sum(axis=1)
+    res_logits = jnp.where(
+        jax.nn.one_hot(draft, f.shape[-1], dtype=bool), -jnp.inf, f[:, :k]
+    )
+    resample = jax.random.categorical(kr, res_logits, axis=-1).astype(jnp.int32)
+    bonus = jax.random.categorical(kb, f[:, k], axis=-1).astype(jnp.int32)
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    out_s = jnp.concatenate(
+        [jnp.where(pos < acc_s[:, None], draft, resample), bonus[:, None]],
+        axis=1,
+    )
+    sampled_row = temps > 0
+    out = jnp.where(sampled_row[:, None], out_s, out_g)
+    acc = jnp.where(sampled_row, acc_s, acc_g)
+    return out, acc
+
+
+def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int, sampler=None):
     """Compiled speculative-decode scan: up to ``n_iters`` verify steps per
     device call, each emitting 1..K+1 tokens.
 
@@ -97,14 +180,19 @@ def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
     vanilla 256-step decode chunks — per-dispatch host/tunnel overhead is
     what dominates small chunks, not the verify passes themselves.
 
-    Returns fn(params, token (1,1), state, buf, budget ()) ->
+    ``sampler``: None for greedy (argmax-match acceptance, bit-identical to
+    vanilla greedy), or (temperature, top_p, top_k, min_p) for
+    rejection-sampled verification (:func:`verify_sampled`) whose emitted
+    stream is distributed exactly as vanilla sampling.
+
+    Returns fn(params, token (1,1), state, buf, budget (), key) ->
       (token, state, buf, toks (n, 1, K+1), maxlp, eoslp, n_emits (n,)).
     ``n_emits[i] == 0`` marks skipped iterations (budget/window exhausted).
     """
     cfg, eos_id = lm.cfg, lm.eos_id
 
     def build():
-        def f(params, token, state, buf, budget):
+        def f(params, token, state, buf, budget, key):
             zero_stats = (
                 jnp.zeros((1, k_draft + 1), jnp.int32),
                 jnp.zeros((1, k_draft + 1), jnp.float32),
@@ -116,7 +204,7 @@ def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
                 return carry, zero_stats
 
             def step(carry):
-                tok, st, hist, left = carry
+                tok, st, hist, left, k_it = carry
                 off = st.offset
                 draft = propose_drafts(hist, st.valid, tok, off, k_draft)
                 ids = jnp.concatenate([tok, draft], axis=1)  # (1, K+1)
@@ -125,30 +213,38 @@ def spec_chunk_fn(lm, window: int, n_iters: int, k_draft: int):
                     params, cfg, st, input_ids=ids, advance=0
                 )
                 logits = res.logits.astype(jnp.float32)  # (1, K+1, V)
-                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                match = (draft == out[:, :-1]).astype(jnp.int32)
-                acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (1,)
-                n_emit = acc[0] + 1
+                k_it, k_use = jax.random.split(k_it)
+                if sampler is None:
+                    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (draft == out[:, :-1]).astype(jnp.int32)
+                    acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (1,)
+                    n_emit = acc[0] + 1
+                else:
+                    out, n_emits_row = verify_sampled(
+                        logits, draft, k_use, *sampler
+                    )
+                    acc = n_emits_row - 1
+                    n_emit = n_emits_row[0]
                 st = res.state._replace(offset=off + n_emit)
                 lp = jax.nn.log_softmax(logits, axis=-1)
                 nxt = jnp.take_along_axis(out, acc[:, None], axis=1)
                 stats = (out, lp.max(axis=-1), lp[..., eos_id], n_emit)
-                return (nxt, st, hist, left - n_emit), stats
+                return (nxt, st, hist, left - n_emit, k_it), stats
 
             def body(carry, _):
-                _, st, _, left = carry
+                _, st, _, left, _ = carry
                 live = (left > 0) & (st.offset + k_draft + 1 <= window)
                 return lax.cond(live, step, skip, carry)
 
-            (tok_f, st_f, buf_f, _), (toks, maxlp, eoslp, n_emits) = lax.scan(
-                body, (token, state, buf, budget), None, length=n_iters
+            (tok_f, st_f, buf_f, _, _), (toks, maxlp, eoslp, n_emits) = lax.scan(
+                body, (token, state, buf, budget, key), None, length=n_iters
             )
             return tok_f, st_f, buf_f, toks, maxlp, eoslp, n_emits
 
         return f
 
     return lm._fn(
-        ("spec_chunk", window, n_iters, k_draft), build, donate=(2, 3)
+        ("spec_chunk", window, n_iters, k_draft, sampler), build, donate=(2, 3)
     )
 
 

@@ -79,9 +79,10 @@ def test_spec_staggered_admission(lmproc):
     assert spec == base
 
 
-def test_spec_sampling_chunk_falls_back(lmproc):
-    """A chunk containing a sampling request uses the vanilla step; the
-    greedy request's stream must still be exact."""
+def test_spec_sampling_chunk_stays_speculative(lmproc):
+    """r4: chunks with sampling rows no longer fall back to the vanilla
+    step — sampled rows verify via rejection sampling (verify_mixed_rows)
+    while greedy rows in the same chunk stay bit-exact."""
     lm, proc = lmproc
     base = _run(BatchEngine(lm, proc, slots=1, window=128), [PROMPTS[0]])
     eng = BatchEngine(lm, proc, slots=2, window=128, spec_k=7, seed=7)
@@ -92,7 +93,7 @@ def test_spec_sampling_chunk_falls_back(lmproc):
             break
         eng.step(2)
     assert eng.tokens(rg) == base[0]
-    assert eng.spec_stats["passes"] == 0  # all chunks had a sampling row
+    assert eng.spec_stats["passes"] > 0  # mixed chunk used the spec path
     assert len(eng.tokens(rs)) > 0
 
 

@@ -213,7 +213,7 @@ def test_spec_acceptance_on_looping_generation():
     for _ in range(2):
         budget = jnp.asarray(360 - len(emitted), jnp.int32)
         tok, state, buf, toks, _, _, n_emits = sfn(
-            lm.params, tok, state, buf, budget
+            lm.params, tok, state, buf, budget, jax.random.PRNGKey(0)
         )
         toks = np.asarray(toks)
         for it, m in enumerate(np.asarray(n_emits)):
@@ -231,7 +231,8 @@ def test_spec_acceptance_on_looping_generation():
         np.pad(di["input_ids"], ((0, 0), (l_pad - 16, 0))), window
     )
     _, _, _, _, _, _, n_emits = sfn(
-        lm.params, tok, state, buf, jnp.asarray(5, jnp.int32)
+        lm.params, tok, state, buf, jnp.asarray(5, jnp.int32),
+        jax.random.PRNGKey(0)
     )
     n_emits = np.asarray(n_emits)
     total = int(n_emits.sum())
