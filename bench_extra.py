@@ -474,6 +474,11 @@ def serve():
     # BENCH_SERVE_PIPELINE=0 measures the old synchronous loop.
     pipelined = os.environ.get("BENCH_SERVE_PIPELINE", "1") != "0"
 
+    # batched admission (r4): all simultaneously-free slots fill through ONE
+    # prefill dispatch (engine.prepare_many), like the HTTP scheduler's
+    # admission worker.  BENCH_SERVE_ADMIT_BATCH=0 restores per-request.
+    admit_batched = os.environ.get("BENCH_SERVE_ADMIT_BATCH", "1") != "0"
+
     t0 = time.perf_counter()
     rids = []
     pending_submits = [
@@ -483,9 +488,18 @@ def serve():
     steps = 0
     while pending_submits or eng.pending():
         # admit into EVERY free slot (one-per-chunk admission starves slots)
-        while pending_submits and eng.free:
-            prompt, n = pending_submits.pop(0)
-            rids.append(eng.submit(prompt, max_tokens=n))
+        if pending_submits and eng.free:
+            n_adm = min(len(pending_submits), len(eng.free))
+            take, pending_submits = (pending_submits[:n_adm],
+                                     pending_submits[n_adm:])
+            if admit_batched and n_adm > 1:
+                prepared = eng.prepare_many(
+                    [p for p, _ in take],
+                    [dict(max_tokens=n) for _, n in take],
+                )
+                rids += [eng.admit(p) for p in prepared]
+            else:
+                rids += [eng.submit(p, max_tokens=n) for p, n in take]
         if eng.pending():
             if pipelined:
                 eng.step_pipelined(chunk)
@@ -501,7 +515,7 @@ def serve():
         "unit": "tok/s aggregate",
         "note": f"{2 * slots} staggered requests over {slots} slots, {total} tokens in "
                 f"{dt:.1f}s ({steps} dispatches of {chunk}-step chunks, "
-                f"pipelined={pipelined})",
+                f"pipelined={pipelined}, batched_admission={admit_batched})",
     }
 
 
