@@ -578,10 +578,42 @@ def serve_spec():
         total = sum(len(eng.requests[r].tokens) for r in rids)
         return total / dt, eng.spec_stats
 
+    def run_mixed(spec_k, chunk):
+        """Half the requests sample (rejection-verified drafts), half greedy."""
+        eng = BatchEngine(lm, proc, slots=4, window=512, spec_k=spec_k, seed=11)
+        r0 = eng.submit("warmup", max_tokens=8, temperature=0.8)
+        while eng.pending():
+            eng.step(chunk)
+        rids = []
+        submits = [
+            (f"Request {i}: tell a story about topic {i}.", 128 + 32 * (i % 4),
+             dict(temperature=0.8, top_p=0.95) if i % 2 else {})
+            for i in range(8)
+        ]
+        t0 = _t.perf_counter()
+        while submits or eng.pending():
+            if submits and eng.free:
+                prompt, n, kw = submits.pop(0)
+                rids.append(eng.submit(prompt, max_tokens=n, **kw))
+            if eng.pending():
+                if pipelined:
+                    eng.step_pipelined(chunk)
+                else:
+                    eng.step(chunk)
+        eng.flush()
+        dt = _t.perf_counter() - t0
+        total = sum(len(eng.requests[r].tokens) for r in rids)
+        return total / dt, eng.spec_stats
+
     base_tps, _ = run(0, 16)
     spec_tps, stats = run(7, 16)
+    mixed_tps, mixed_stats = run_mixed(7, 16)
     per_pass = (
         round(stats["emitted"] / stats["passes"], 2) if stats["passes"] else None
+    )
+    mixed_per_pass = (
+        round(mixed_stats["emitted"] / mixed_stats["passes"], 2)
+        if mixed_stats["passes"] else None
     )
     return {
         "metric": "serving_spec_aggregate_tps_ceiling",
@@ -590,9 +622,12 @@ def serve_spec():
         "vanilla_same_weights": round(base_tps, 2),
         "speedup": round(spec_tps / base_tps, 2),
         "tokens_per_pass": per_pass,
+        "mixed_greedy_sampled_tps": round(mixed_tps, 2),
+        "mixed_tokens_per_pass": mixed_per_pass,
         "note": f"4 slots, 8 staggered requests, spec_k=7, ceiling model "
-                f"(all drafts accept); real-text acceptance is "
-                f"workload-dependent (pipelined={pipelined})",
+                f"(all drafts accept); mixed row = half the requests at "
+                f"temperature 0.8 (rejection-verified drafts); real-text "
+                f"acceptance is workload-dependent (pipelined={pipelined})",
     }
 
 
