@@ -205,10 +205,13 @@ def generate(
     ``top_p``, ``top_k``, ``min_p``, ``seed``).  ``stop``: string or list of
     strings — generation halts when one appears in the decoded text (matched
     on text, so stop strings spanning token boundaries fire) and the
-    returned text is trimmed at the first occurrence.
+    returned text is trimmed at the first occurrence; with ``stream=True``
+    the printed stream withholds the longest-possible stop suffix so the
+    console output equals the trimmed return value.
     ``speculative=True`` (or env ``PHI3V_TPU_SPEC=1``) enables prompt-lookup
-    speculative decoding — greedy single-stream only, output bit-identical
-    (engine/speculative.py)."""
+    speculative decoding — single-stream only; greedy output is
+    bit-identical, sampled output is distribution-exact via
+    rejection-sampled verification (engine/speculative.py)."""
     if isinstance(prompt, str) and "<|api_input|>" in prompt and enable_api:
         from .agent.tools import get_api
 
