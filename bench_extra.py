@@ -318,15 +318,18 @@ def _tiered_tps(window: int, max_tokens: int = 12, chunk: int = 8192,
     logits, state = eng.prefill(dict_input)
     prefill_s = time.time() - t0
     tok = int(np.argmax(logits[0]))
-    # compile + warm the decode step before timing
-    logits, state = eng.decode_step(state, np.array([[tok]], np.int32))
-    tok = int(np.argmax(np.asarray(jax.device_get(logits))[0]))
+    # chunked decode (argmax feedback on device): the cold tier still
+    # streams once per token — exact attention — but the host/tunnel round
+    # trip amortizes over the chunk.  Warm/compile first.
+    cs = int(os.environ.get("PHI3V_TPU_TIERED_CHUNK", "4"))
+    toks, state = eng.decode_chunk(state, np.array([[tok]], np.int32), cs)
+    tok = int(toks[-1, 0])
     t0 = time.time()
     n = 0
-    for _ in range(max_tokens):
-        logits, state = eng.decode_step(state, np.array([[tok]], np.int32))
-        tok = int(np.argmax(np.asarray(jax.device_get(logits))[0]))
-        n += 1
+    while n < max_tokens:
+        toks, state = eng.decode_chunk(state, np.array([[tok]], np.int32), cs)
+        tok = int(toks[-1, 0])
+        n += cs
     return n / (time.time() - t0), prefill_s, len(state.cold_k)
 
 

@@ -430,6 +430,71 @@ class TieredEngine:
                             C=l_pad, PC=pc)
         return np.asarray(jax.device_get(logits), np.float32), state
 
+    def _decode_chunk_fn(self, b: int, n_chunks: int, n_steps: int):
+        """Greedy multi-step decode in ONE dispatch: an outer scan over
+        ``n_steps`` feeds argmax back on device, re-streaming the cold tier
+        per step (attention must re-read it; that is the exact-attention
+        floor) but paying the host/tunnel round trip once per chunk instead
+        of once per token (~1 s/step on the axon tunnel)."""
+        key = ("chunk", b, n_chunks, n_steps)
+        if key in self._decode_fns:
+            return self._decode_fns[key]
+        cfg, kb = self.cfg, self.k_block
+        dev = _dev_sharding()
+        C = n_chunks * self.pc
+
+        def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
+               cold_s, cold_valid, cos, sin):
+            mdl = params["model"]
+
+            def step(carry, _):
+                tok, hot_kv, off = carry
+                x = embedding(mdl["embed_tokens"], tok).astype(
+                    jnp.dtype(cfg.dtype))
+                pos = C + off
+                cos_t = lax.dynamic_slice_in_dim(cos, pos, 1, axis=1)
+                sin_t = lax.dynamic_slice_in_dim(sin, pos, 1, axis=1)
+                if cos_t.shape[0] == 1 and x.shape[0] > 1:
+                    cos_t = jnp.broadcast_to(
+                        cos_t, (x.shape[0],) + cos_t.shape[1:])
+                    sin_t = jnp.broadcast_to(
+                        sin_t, (x.shape[0],) + sin_t.shape[1:])
+                x, hot_kv, _ = _tiered_layers(
+                    cfg, mdl["layers"], x, hot_kv, cold_k, cold_s,
+                    cold_valid, cos_t, sin_t, off, hot_valid,
+                    k_block=kb, dev_sharding=dev,
+                )
+                x = rms_norm(x[:, -1:], mdl["norm"]["weight"],
+                             cfg.rms_norm_eps)
+                logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)[:, None]
+                return (nxt, hot_kv, off + 1), nxt[:, 0]
+
+            (tok_f, hot_kv, off_f), toks = lax.scan(
+                step, (tok, KVCache(*hot_kv_tree), hot_offset), None,
+                length=n_steps,
+            )
+            return toks, tuple(hot_kv)
+
+        self._decode_fns[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._decode_fns[key]
+
+    def decode_chunk(self, state: TieredState, tok, n_steps: int):
+        """Greedy-decode ``n_steps`` tokens in one dispatch.
+
+        Returns ((n_steps, B) int32 tokens, state)."""
+        fn = self._decode_chunk_fn(state.hot.valid.shape[0],
+                                   len(state.cold_k), n_steps)
+        toks, hot_kv = fn(
+            self.lm.params, jnp.asarray(tok), tuple(state.hot.kv),
+            state.hot.offset, state.hot.valid, tuple(state.cold_k),
+            tuple(state.cold_s), state.cold_valid, state.cos, state.sin,
+        )
+        state.hot = state.hot._replace(
+            kv=KVCache(*hot_kv), offset=state.hot.offset + n_steps
+        )
+        return np.asarray(jax.device_get(toks)), state
+
     def decode_step(self, state: TieredState, tok) -> Tuple[np.ndarray, TieredState]:
         """One greedy-ready step: (B,1) token ids -> (B, V) f32 logits."""
         fn = self._decode_fn(state.hot.valid.shape[0], len(state.cold_k))
@@ -444,20 +509,35 @@ class TieredEngine:
         return logits, state
 
     def generate(self, dict_input: dict, max_tokens: int,
-                 eos_id: Optional[int] = None) -> List[int]:
-        """Greedy tiered generation; returns emitted token ids (B=1)."""
+                 eos_id: Optional[int] = None,
+                 chunk_steps: Optional[int] = None) -> List[int]:
+        """Greedy tiered generation; returns emitted token ids (B=1).
+
+        ``chunk_steps`` (env ``PHI3V_TPU_TIERED_CHUNK``, default 4) decodes
+        that many tokens per device dispatch — each step still re-streams
+        the cold tier (exact attention), but the host/tunnel round trip
+        amortizes across the chunk.
+        """
+        import os
+
         if max_tokens > self.hot_window:
             raise ValueError(
                 f"max_tokens {max_tokens} exceeds the hot window "
                 f"{self.hot_window}; raise hot= at construction"
             )
+        if chunk_steps is None:
+            chunk_steps = int(os.environ.get("PHI3V_TPU_TIERED_CHUNK", "4"))
         logits, state = self.prefill(dict_input)
         tok = int(np.argmax(logits[0]))
         out = [tok]
-        for _ in range(max_tokens - 1):
-            if eos_id is not None and tok == eos_id:
-                break
-            logits, state = self.decode_step(state, np.array([[tok]], np.int32))
-            tok = int(np.argmax(np.asarray(jax.device_get(logits))[0]))
-            out.append(tok)
+        while len(out) < max_tokens and (eos_id is None or tok != eos_id):
+            n = min(max(chunk_steps, 1), max_tokens - len(out))
+            toks, state = self.decode_chunk(
+                state, np.array([[tok]], np.int32), n
+            )
+            for t in toks[:, 0].tolist():
+                out.append(int(t))
+                tok = int(t)
+                if eos_id is not None and tok == eos_id:
+                    break
         return out

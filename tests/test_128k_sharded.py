@@ -20,6 +20,7 @@ from phi_3_vision_mlx_tpu.parallel.mesh import make_mesh
 from phi_3_vision_mlx_tpu.parallel.sharding import shard_params, state_shardings
 
 
+@pytest.mark.slow
 def test_sharded_decode_token_parity():
     """KV-head-sharded decode must reproduce single-device decode (small
     window; the correctness gate behind the 128K sharding story — VERDICT r2

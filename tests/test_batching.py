@@ -56,6 +56,7 @@ def test_two_requests_match_single_stream(lmproc):
     assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 12)
 
 
+@pytest.mark.slow
 def test_mid_run_admission_and_slot_reuse(lmproc):
     """A request admitted while another is mid-decode must not perturb it,
     and freed slots must serve later requests correctly."""
@@ -124,6 +125,7 @@ def test_quantized_cache_batching(lmproc, tmp_path):
     assert eng.tokens(rb) == _single_tokens(lm, proc, pb, 10)
 
 
+@pytest.mark.slow
 def test_paged_engine_matches_single_stream(lmproc):
     """Paged pool at HALF the dense reservation serves the same requests
     token-exactly, including mid-run admission, page growth across
@@ -152,6 +154,7 @@ def test_paged_engine_matches_single_stream(lmproc):
     assert len(eng._free_pages) == eng.pool_pages
 
 
+@pytest.mark.slow
 def test_paged_partial_page_adoption(lmproc):
     """page_size larger than the 64-token prompt bucket: adoption allocates
     ceil(l_pad/page) pages, zero-fills the trailing partial page (l_pad=64,
@@ -181,6 +184,7 @@ def test_paged_pool_exhaustion_raises(lmproc):
     assert len(eng._free_pages) == 1 and len(eng.free) == 2
 
 
+@pytest.mark.slow
 def test_paged_engine_quantized_cache(lmproc):
     """Paged pool over the packed int4 quantized cache: token-exact vs
     single-stream quantized decoding."""

@@ -197,6 +197,7 @@ def test_train_lora_with_dropout(ckpt, tmp_path, monkeypatch):
     assert cfg["lora_parameters"]["dropout"] == 0.3
 
 
+@pytest.mark.slow
 def test_train_lora_resume(ckpt, tmp_path, monkeypatch):
     """Orbax mid-run resume: checkpoint at step 1 of 2, resume, and the final
     adapter equals the uninterrupted run's."""

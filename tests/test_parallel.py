@@ -75,6 +75,7 @@ def test_state_shardings_match_state_structure(quantized):
     jax.block_until_ready(constrained)
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import __graft_entry__ as g
 

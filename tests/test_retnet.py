@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from phi_3_vision_mlx_tpu.models import retnet as R
 
 CFG = R.RetNetConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2, num_heads=4)
 
 
+@pytest.mark.slow
 def test_parallel_matches_recurrent():
     """The defining property of retention: the O(L^2) parallel form and the
     O(1)-state recurrent form are the same function."""

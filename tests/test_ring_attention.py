@@ -31,6 +31,7 @@ def test_ring_matches_dense(kvh):
     )
 
 
+@pytest.mark.slow
 def test_prefill_ring_matches_prefill():
     """Sequence-parallel prefill (phi3.prefill_ring) must reproduce the
     single-device prefill — logits AND the written cache (verified by

@@ -54,6 +54,7 @@ def _single_tokens(lm, proc, prompt, n, window=128, early_stop=False):
     return toks
 
 
+@pytest.mark.slow
 def test_preemption_resume_token_exact(lmproc):
     """Mid-decode pool saturation evicts the youngest request; it resumes by
     recompute when pages free and still emits the single-stream tokens."""
@@ -245,6 +246,7 @@ def test_per_slot_sampling_isolates_greedy_rows(lmproc):
     assert eng2.tokens(rb2) == toks_b, "same seed must reproduce samples"
 
 
+@pytest.mark.slow
 def test_sampling_temp_zero_token_exact_paged(lmproc):
     """temperature=0 / top_p=1 through the paged engine's sampling path is
     token-exact greedy (VERDICT item 7's gate)."""
@@ -260,6 +262,7 @@ def test_sampling_temp_zero_token_exact_paged(lmproc):
     assert eng.tokens(ra) == _single_tokens(lm, proc, pa, 12)
 
 
+@pytest.mark.slow
 def test_slot_engine_logit_stopper(lmproc):
     """early_stop in the slot engine replays the single-stream LogitStopper
     decision exactly (same stats, same step order)."""

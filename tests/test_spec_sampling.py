@@ -46,7 +46,7 @@ def test_verify_sampled_first_token_matches_vanilla_distribution():
         f = filter_sample_logits(logits[:, 0], *sampler)
         return jax.random.categorical(key, f, axis=-1)[0]
 
-    n = 20000
+    n = 8000
     p_spec = _empirical(spec_first, n, v)
     p_van = _empirical(vanilla, n, v)
     # exact p for reference: filtered softmax
@@ -108,7 +108,7 @@ def test_generate_sampled_speculative_runs(lmproc):
     from phi_3_vision_mlx_tpu.api import generate
 
     lm, proc = lmproc
-    out = generate("Tell me a story.", preload=lmproc, max_tokens=24,
+    out = generate("Tell me a story.", preload=lmproc, max_tokens=12,
                    verbose=False, stream=False, mute=True, sample=True,
                    temperature=0.8, top_p=0.95, seed=3, speculative=True)
     assert isinstance(out, list) and len(out[0]) > 0

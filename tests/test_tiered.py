@@ -57,7 +57,7 @@ def test_tiered_matches_in_hbm_path(lm):
     rng = np.random.default_rng(0)
     ids = rng.integers(2, CFG.vocab_size, (1, 150)).astype(np.int32)
     dict_input = {"input_ids": ids}
-    n_steps = 6
+    n_steps = 4
 
     ref_toks, ref_logs = _standard_reference(lm, dict_input, n_steps)
 
@@ -94,3 +94,16 @@ def test_tiered_rejects_overlong_decode(lm):
     eng = TieredEngine(lm, chunk=PC, hot=8)
     with pytest.raises(ValueError):
         eng.generate({"input_ids": np.array([[3, 4, 5]])}, max_tokens=64)
+
+
+def test_tiered_chunked_decode_matches_per_step(lm):
+    """decode_chunk (multi-token per dispatch, on-device argmax feedback)
+    emits the same greedy stream as per-step decode and the in-HBM path."""
+    rng = np.random.default_rng(2)
+    ids = rng.integers(2, CFG.vocab_size, (1, 100)).astype(np.int32)
+    dict_input = {"input_ids": ids}
+    ref_toks, _ = _standard_reference(lm, dict_input, 7)
+
+    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
+    toks = eng.generate(dict_input, max_tokens=8, chunk_steps=3)
+    assert toks == ref_toks[:8]

@@ -37,6 +37,7 @@ def _args(paths, mode, configs):
     ]
 
 
+@pytest.mark.slow
 def test_record_then_check_green(paths, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # cfg4 writes its test image to cwd
     assert verify.main(_args(paths, "record", "1,2,3,4,5")) == 0
