@@ -359,6 +359,90 @@ def tiered128k():
             "note": "full reference-parity window on a fractional chip"}
 
 
+def _tiered_spec_tps(window: int, max_tokens: int = 48, k_draft: int = 7,
+                     n_iters: int = 4, chunk: int = 8192, hot: int = 512):
+    """Tiered decode TPS with prompt-lookup speculation at the acceptance
+    CEILING (lm_head scales zeroed -> constant argmax -> every draft
+    accepts; same construction as spec()).  The tiered cost model is the
+    cold-tier PCIe stream per attention pass, so K+1 accepted tokens per
+    verify pass divide the dominant per-token cost by ~K+1.  The all-reject
+    floor is the plain tiered row (1 token per stream).
+
+    Returns (tps, prefill_s, n_chunks, tokens_emitted).
+    """
+    from bench import synth_quantized_params
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.engine.speculative import init_token_buffer
+    from phi_3_vision_mlx_tpu.engine.tiered import TieredEngine, _pad_to_chunks
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+
+    cfg = preset("phi35_mini").replace(
+        quantized=QuantConfig(
+            group_size=64, bits=4, mode=os.environ["BENCH_QUANT_MODE"]
+        ),
+        use_quantized_cache=True,
+    )
+    params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    params["lm_head"]["scales"] = params["lm_head"]["scales"] * 0
+    if jax.default_backend() == "tpu":
+        from phi_3_vision_mlx_tpu.core.weights import kernelize_params
+
+        params = kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    lm = LM(cfg, params)
+    proc = Phi3Processor(tokenizer=ByteTokenizer())
+
+    eng = TieredEngine(lm, chunk=chunk, hot=hot)
+    prompt_tokens = window - hot
+    prompt = ("The lighthouse keeper wrote: " + "x" * 50) * (
+        prompt_tokens // 79 + 1
+    )
+    dict_input = proc(prompt[: prompt_tokens - 8])
+    t0 = time.time()
+    logits, state = eng.prefill(dict_input)
+    prefill_s = time.time() - t0
+    tok = int(np.argmax(logits[0]))
+    ids_p, _, _, _ = _pad_to_chunks(dict_input, eng.pc)
+    buf = init_token_buffer(ids_p, state.window)
+    # AOT-compile the spec chunk program so the timed loop is pure execution
+    fn = eng._spec_chunk_fn(ids_p.shape[0], len(state.cold_k), n_iters,
+                            k_draft)
+    fn.lower(
+        lm.params, jnp.asarray([[tok]], jnp.int32), tuple(state.hot.kv),
+        state.hot.offset, state.hot.valid, tuple(state.cold_k),
+        tuple(state.cold_s), state.cold_valid, state.cos, state.sin, buf,
+    ).compile()
+    t0 = time.time()
+    out, state = eng.spec_decode(state, tok, buf, max_tokens,
+                                 k_draft=k_draft, n_iters=n_iters)
+    dt = time.time() - t0
+    return (len(out) - 1) / dt, prefill_s, len(state.cold_k), len(out) - 1
+
+
+def tiered_spec64k():
+    tps, prefill_s, nc, n = _tiered_spec_tps(65536)
+    return {"metric": "decode_tps_tiered_64k_spec_ceiling",
+            "value": round(tps, 3), "unit": "tok/s",
+            "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
+            "tokens": n, "spec_k": 7,
+            "note": "prompt-lookup speculation over the tiered cache: K+1 "
+                    "tokens share one cold-tier PCIe stream; ceiling = all "
+                    "drafts accept (constant-argmax head); floor = the "
+                    "tiered64k row; greedy-exact (tests/test_tiered.py)"}
+
+
+def tiered_spec128k():
+    tps, prefill_s, nc, n = _tiered_spec_tps(131072, max_tokens=32)
+    return {"metric": "decode_tps_tiered_128k_spec_ceiling",
+            "value": round(tps, 3), "unit": "tok/s",
+            "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
+            "tokens": n, "spec_k": 7,
+            "note": "the 128K single-chip window with speculative "
+                    "verification amortizing the PCIe stream"}
+
+
 def spec():
     """Prompt-lookup speculative decoding (engine/speculative.py).
 
@@ -683,7 +767,8 @@ ALL = {
 # are recorded explicitly (python bench_extra.py tiered64k tiered128k)
 # rather than in every default sweep.
 EXTRA = {"quant64k": quant64k, "tiered64k": tiered64k,
-         "tiered128k": tiered128k}
+         "tiered128k": tiered128k, "tiered_spec64k": tiered_spec64k,
+         "tiered_spec128k": tiered_spec128k}
 ALL_RUNNABLE = {**ALL, **EXTRA}
 
 

@@ -1,0 +1,201 @@
+"""Where does the tiered cold-stream bandwidth go, and can we overlap it?
+
+ROADMAP r4 roofline: the tiered decode stream achieves ~5-6 GB/s effective
+vs the measured ~14 GB/s pinned_host->HBM link.  Candidate explanations:
+
+  (a) the per-layer HOST slice of the (nl, ...) stacked array (scan xs
+      lowering) memcpys on one CPU core before the DMA can start;
+  (b) the copy serializes with the layer's dequant+attention compute;
+  (c) per-transfer fixed overhead (2 transfers x nl x n_chunks per step).
+
+This harness times isolated variants on a configurable window so the fix
+lands where the time actually goes:
+
+  raw      - one device_put of the whole stacked cold payload (the link
+             ceiling the 12.9-GB scan measured).
+  scanslice- jitted scan over layers: device_put(xs slice) + trivial
+             reduce.  Isolates (a)+(c) without model compute.
+  scanfull - the real _tiered_layers decode step (mode A, today's code).
+  prefetch - scanfull with one-layer lookahead: xs carries layer i+1's
+             host slices (layer axis pre-rolled), the carry holds layer
+             i's device copies, so the i+1 copy overlaps the i compute
+             (and, if XLA pipelines copy-done across iterations, the DMA
+             too).  PHI3V_TPU_TIERED_PREFETCH=1 in engine/tiered.py.
+
+Usage: python experiments/tiered_overlap.py [window] [variants...]
+       (default window 32768; variants default to all)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+WINDOW = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32768
+PC = 8192
+HOT = 256
+REPS = 3
+
+
+def _sharding(kind):
+    return jax.sharding.SingleDeviceSharding(jax.devices()[0], memory_kind=kind)
+
+
+def synth_cold(cfg, n_chunks, b=1, seed=0):
+    """Random packed cold tier straight into pinned_host."""
+    rng = np.random.default_rng(seed)
+    nl, kvh, d = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    g = max(1, d // cfg.kv_quant.group_size)
+    host = _sharding("pinned_host")
+    cold_k, cold_s = [], []
+    for _ in range(n_chunks):
+        pay = rng.integers(0, 256, (nl, b, kvh, d, PC), dtype=np.uint8)
+        sc = (rng.standard_normal((nl, b, kvh, 4 * g, PC)) * 0.02).astype(
+            jnp.bfloat16.dtype)
+        cold_k.append(jax.device_put(pay, host))
+        cold_s.append(jax.device_put(sc, host))
+    jax.block_until_ready((cold_k, cold_s))
+    return cold_k, cold_s
+
+
+def gbytes(cold_k, cold_s):
+    return sum(x.size * x.dtype.itemsize for x in cold_k + cold_s) / 1e9
+
+
+def time_fn(f, reps=REPS):
+    f()  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def variant_raw(cold_k, cold_s):
+    dev = _sharding("device")
+
+    def f():
+        return jax.device_put((cold_k, cold_s), dev)
+
+    dt = time_fn(f)
+    return dt
+
+
+def variant_scanslice(cold_k, cold_s):
+    """Per-layer slice + copy + trivial reduce, no model compute."""
+    dev = _sharding("device")
+
+    @jax.jit
+    def f(cold_k, cold_s):
+        def body(acc, xs):
+            total = acc
+            for c, s in zip(xs[0], xs[1]):
+                cd = jax.device_put(c, dev)
+                sd = jax.device_put(s, dev)
+                total = total + jnp.sum(cd, dtype=jnp.int32) + jnp.sum(
+                    sd.astype(jnp.float32))
+            return total, None
+
+        acc, _ = lax.scan(body, jnp.zeros((), jnp.float32),
+                          (tuple(cold_k), tuple(cold_s)))
+        return acc
+
+    return time_fn(lambda: f(tuple(cold_k), tuple(cold_s)))
+
+
+def _engine(window):
+    from bench import synth_quantized_params
+    from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+    from phi_3_vision_mlx_tpu.engine.engine import LM
+    from phi_3_vision_mlx_tpu.engine.tiered import TieredEngine
+
+    cfg = preset("phi35_mini").replace(
+        quantized=QuantConfig(group_size=64, bits=4, mode="affine"),
+        use_quantized_cache=True,
+    )
+    params = synth_quantized_params(cfg, jax.random.PRNGKey(0))
+    if jax.default_backend() == "tpu":
+        from phi_3_vision_mlx_tpu.core.weights import kernelize_params
+
+        params = kernelize_params(params, cfg)
+    jax.block_until_ready(params)
+    return TieredEngine(LM(cfg, params), chunk=PC, hot=HOT)
+
+
+def variant_scanfull(eng, window, n_steps=4):
+    from phi_3_vision_mlx_tpu.models.preprocess import Phi3Processor
+    from phi_3_vision_mlx_tpu.models.tokenizer import ByteTokenizer
+
+    proc = Phi3Processor(tokenizer=ByteTokenizer())
+    prompt = ("streaming test " * 6000)[: window - HOT - 8]
+    t0 = time.perf_counter()
+    logits, state = eng.prefill(proc(prompt))
+    prefill_s = time.perf_counter() - t0
+    tok = np.argmax(logits, -1)[:, None].astype(np.int32)
+
+    def f():
+        toks, _ = eng.decode_chunk(state, tok, n_steps)
+        return toks
+
+    # decode_chunk mutates state.hot.offset; fine for timing (hot stays tiny)
+    dt = time_fn(f)
+    return dt / n_steps, prefill_s
+
+
+def main():
+    variants = [v for v in sys.argv[1:] if not v.isdigit()] or [
+        "raw", "scanslice", "scanfull", "prefetch"]
+    out = {"window": WINDOW, "pc": PC}
+    n_chunks = WINDOW // PC
+
+    if "raw" in variants or "scanslice" in variants:
+        from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
+
+        cfg = preset("phi35_mini").replace(
+            quantized=QuantConfig(group_size=64, bits=4, mode="affine"),
+            use_quantized_cache=True,
+        )
+        cold_k, cold_s = synth_cold(cfg, n_chunks)
+        gb = gbytes(cold_k, cold_s)
+        out["cold_gb"] = round(gb, 2)
+        if "raw" in variants:
+            dt = variant_raw(cold_k, cold_s)
+            out["raw_gbps"] = round(gb / dt, 2)
+            print(json.dumps({"variant": "raw", "s": round(dt, 3),
+                              "gbps": out["raw_gbps"]}), flush=True)
+        if "scanslice" in variants:
+            dt = variant_scanslice(cold_k, cold_s)
+            out["scanslice_gbps"] = round(gb / dt, 2)
+            print(json.dumps({"variant": "scanslice", "s": round(dt, 3),
+                              "gbps": out["scanslice_gbps"]}), flush=True)
+        del cold_k, cold_s
+
+    for name, env in (("scanfull", "0"), ("prefetch", "1")):
+        if name not in variants:
+            continue
+        os.environ["PHI3V_TPU_TIERED_PREFETCH"] = env
+        eng = _engine(WINDOW)
+        per_step, prefill_s = variant_scanfull(eng, WINDOW)
+        gb_step = (WINDOW - HOT) / PC * (
+            out.get("cold_gb", 0) / max(1, WINDOW // PC)) or None
+        out[f"{name}_s_per_tok"] = round(per_step, 3)
+        out[f"{name}_tps"] = round(1.0 / per_step, 3)
+        print(json.dumps({"variant": name, "s_per_tok": round(per_step, 3),
+                          "tps": round(1.0 / per_step, 3),
+                          "prefill_s": round(prefill_s, 1)}), flush=True)
+        del eng
+
+    with open("experiments/tiered_overlap.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

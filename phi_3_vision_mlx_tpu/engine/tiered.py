@@ -495,6 +495,160 @@ class TieredEngine:
         )
         return np.asarray(jax.device_get(toks)), state
 
+    def _spec_chunk_fn(self, b: int, n_chunks: int, n_iters: int,
+                       k_draft: int):
+        """Speculative multi-iteration decode in ONE dispatch.
+
+        The tiered cost model is dominated by the cold-tier PCIe stream:
+        every attention pass re-reads the whole pinned-host cache, so a
+        greedy step pays ~window-bytes per TOKEN.  Verifying K prompt-lookup
+        drafts in one lq = K+1 pass (engine/speculative.py) re-reads the
+        cold tier ONCE for up to K+1 emitted tokens — the stream cost per
+        token drops by the acceptance-weighted chunk length.  Greedy-exact:
+        argmax-match acceptance keeps the emitted stream bit-identical to
+        per-step tiered decode (tests/test_tiered.py).
+
+        Every scan iteration steps unconditionally — no ``lax.cond`` around
+        the layer pass.  On the real TPU a conditional body breaks XLA's
+        memory-space propagation for the pinned_host scan-xs (layout
+        assignment then wants a transposed cross-memory-space copy, which
+        async-start rejects); the caller bounds iteration count host-side
+        instead and trims overshoot (spec_decode).
+        """
+        key = ("spec", b, n_chunks, n_iters, k_draft)
+        if key in self._decode_fns:
+            return self._decode_fns[key]
+        from .speculative import propose_drafts
+
+        cfg, kb = self.cfg, self.k_block
+        dev = _dev_sharding()
+        C = n_chunks * self.pc
+        lq = k_draft + 1
+
+        def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
+               cold_s, cold_valid, cos, sin, buf):
+            mdl = params["model"]
+            valid_full = jnp.concatenate([cold_valid, hot_valid], axis=1)
+
+            def step(carry, _):
+                tok, hot_kv, off, hist = carry
+                off_abs = C + off
+                draft = propose_drafts(hist, valid_full, tok, off_abs,
+                                       k_draft)
+                ids = jnp.concatenate([tok, draft], axis=1)  # (B, lq)
+                hist = lax.dynamic_update_slice(hist, ids, (0, off_abs))
+                x = embedding(mdl["embed_tokens"], ids).astype(
+                    jnp.dtype(cfg.dtype))
+                cos_t = lax.dynamic_slice_in_dim(cos, off_abs, lq, axis=1)
+                sin_t = lax.dynamic_slice_in_dim(sin, off_abs, lq, axis=1)
+                if cos_t.shape[0] == 1 and x.shape[0] > 1:
+                    cos_t = jnp.broadcast_to(
+                        cos_t, (x.shape[0],) + cos_t.shape[1:])
+                    sin_t = jnp.broadcast_to(
+                        sin_t, (x.shape[0],) + sin_t.shape[1:])
+                x, hot_kv, _ = _tiered_layers(
+                    cfg, mdl["layers"], x, hot_kv, cold_k, cold_s,
+                    cold_valid, cos_t, sin_t, off, hot_valid,
+                    k_block=kb, dev_sharding=dev,
+                )
+                x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
+                logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,lq)
+                match = (draft == out[:, :-1]).astype(jnp.int32)
+                acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,)
+                n_emit = acc[0] + 1
+                nxt = jnp.take_along_axis(out, acc[:, None], axis=1)
+                return (nxt, hot_kv, off + n_emit, hist), (out, n_emit)
+
+            (tok_f, hot_kv, off_f, buf_f), (toks, n_emits) = lax.scan(
+                step,
+                (tok, KVCache(*hot_kv_tree), hot_offset, buf),
+                None, length=n_iters,
+            )
+            return toks, n_emits, off_f, tuple(hot_kv), buf_f
+
+        self._decode_fns[key] = jax.jit(fn, donate_argnums=(2, 10))
+        return self._decode_fns[key]
+
+    def spec_generate(self, dict_input: dict, max_tokens: int,
+                      eos_id: Optional[int] = None, k_draft: int = 7,
+                      n_iters: int = 8) -> List[int]:
+        """Greedy tiered generation with prompt-lookup speculation (B=1).
+
+        Bit-identical to :meth:`generate` (greedy argmax-match acceptance);
+        up to ``k_draft + 1`` tokens share one cold-tier PCIe stream.
+        ``n_iters`` verify iterations run per device dispatch (the scan
+        self-limits once the token budget or hot window is exhausted).
+        """
+        from .speculative import init_token_buffer
+
+        if max_tokens + k_draft + 1 > self.hot_window:
+            raise ValueError(
+                f"max_tokens {max_tokens} + k_draft {k_draft} + 1 exceeds "
+                f"the hot window {self.hot_window}; raise hot= at "
+                f"construction"
+            )
+        logits, state = self.prefill(dict_input)
+        tok = int(np.argmax(logits[0]))
+        ids_p, _, _, l_pad = _pad_to_chunks(dict_input, self.pc)
+        buf = init_token_buffer(ids_p, state.window)
+        out, _ = self.spec_decode(state, tok, buf, max_tokens,
+                                  eos_id=eos_id, k_draft=k_draft,
+                                  n_iters=n_iters)
+        return out
+
+    def spec_decode(self, state: TieredState, tok: int, buf, max_tokens: int,
+                    eos_id: Optional[int] = None, k_draft: int = 7,
+                    n_iters: int = 8):
+        """The decode half of :meth:`spec_generate` (bench-friendly split:
+        prefill once, time this).  ``tok`` is the first emitted token (from
+        the prefill logits), ``buf`` the window-aligned token history
+        (engine/speculative.py:init_token_buffer).  Returns
+        (emitted tokens incl. ``tok``, updated state).
+
+        Iteration count is bounded HOST-side (the jitted scan body has no
+        conditional — see _spec_chunk_fn): each dispatch runs ``n_use``
+        unconditional verify iterations where ``n_use`` fits the remaining
+        hot window at the worst case (lq entries per iteration).  A
+        dispatch may overshoot ``max_tokens``/``eos_id`` by at most one
+        dispatch's worth of tokens; the overshoot is valid greedy
+        continuation written to the hot window and simply trimmed here.
+        At most two program sizes compile: ``n_iters`` and the final
+        partial dispatch's remainder."""
+        from .speculative import init_token_buffer  # noqa: F401 (doc ref)
+
+        out = [tok]
+        b, nc = state.cold_valid.shape[0], len(state.cold_k)
+        lq = k_draft + 1
+        while len(out) < max_tokens and (eos_id is None or tok != eos_id):
+            off_now = int(jax.device_get(state.hot.offset))
+            room = (self.hot_window - off_now) // lq  # iters that fit hot
+            if room <= 0:
+                break  # hot window exhausted before the budget
+            # not capped by the remaining budget: overshoot is trimmed, and
+            # keeping n_use off the budget means at most TWO program sizes
+            # ever compile (n_iters + a room-capped final dispatch)
+            n_use = min(n_iters, room)
+            fn = self._spec_chunk_fn(b, nc, n_use, k_draft)
+            toks, n_emits, off, hot_kv, buf = fn(
+                self.lm.params, jnp.asarray([[tok]], jnp.int32),
+                tuple(state.hot.kv), state.hot.offset, state.hot.valid,
+                tuple(state.cold_k), tuple(state.cold_s), state.cold_valid,
+                state.cos, state.sin, buf,
+            )
+            state.hot = state.hot._replace(kv=KVCache(*hot_kv), offset=off)
+            toks = np.asarray(jax.device_get(toks))      # (n_use, B, lq)
+            n_emits = np.asarray(jax.device_get(n_emits))  # (n_use,)
+            for it in range(toks.shape[0]):
+                n = int(n_emits[it])
+                for t in toks[it, 0, :n].tolist():
+                    out.append(int(t))
+                    tok = int(t)
+                    if (eos_id is not None and tok == eos_id) or \
+                            len(out) >= max_tokens:
+                        return out[:max_tokens], state
+        return out[:max_tokens], state
+
     def decode_step(self, state: TieredState, tok) -> Tuple[np.ndarray, TieredState]:
         """One greedy-ready step: (B,1) token ids -> (B, V) f32 logits."""
         fn = self._decode_fn(state.hot.valid.shape[0], len(state.cold_k))

@@ -28,6 +28,13 @@ def lm():
     return E.LM(CFG, params)
 
 
+@pytest.fixture(scope="module")
+def eng(lm):
+    """Shared engine: per-request state lives in TieredState, so one engine
+    (and its compiled-program cache) serves every test in this module."""
+    return TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
+
+
 def _standard_reference(lm, dict_input, n_steps: int):
     """In-HBM quantized-cache prefill + greedy decode over the SAME padded
     window the tiered engine uses."""
@@ -52,7 +59,7 @@ def _standard_reference(lm, dict_input, n_steps: int):
     return toks, logs
 
 
-def test_tiered_matches_in_hbm_path(lm):
+def test_tiered_matches_in_hbm_path(lm, eng):
     """3 cold chunks + hot decode: prefill logits close, greedy identical."""
     rng = np.random.default_rng(0)
     ids = rng.integers(2, CFG.vocab_size, (1, 150)).astype(np.int32)
@@ -61,7 +68,6 @@ def test_tiered_matches_in_hbm_path(lm):
 
     ref_toks, ref_logs = _standard_reference(lm, dict_input, n_steps)
 
-    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
     logits, state = eng.prefill(dict_input)
     assert len(state.cold_k) == 3 and state.C == 192
     assert state.cold_k[0].sharding.memory_kind == "pinned_host"
@@ -77,7 +83,7 @@ def test_tiered_matches_in_hbm_path(lm):
     assert toks == ref_toks
 
 
-def test_tiered_generate_short_prompt(lm):
+def test_tiered_generate_short_prompt(lm, eng):
     """A prompt shorter than one chunk still works (single cold chunk with
     left-pad masking) and matches the standard path."""
     rng = np.random.default_rng(1)
@@ -85,7 +91,6 @@ def test_tiered_generate_short_prompt(lm):
     dict_input = {"input_ids": ids}
     ref_toks, _ = _standard_reference(lm, dict_input, 5)
 
-    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
     toks = eng.generate(dict_input, max_tokens=6)
     assert toks == ref_toks[:6]
 
@@ -96,7 +101,24 @@ def test_tiered_rejects_overlong_decode(lm):
         eng.generate({"input_ids": np.array([[3, 4, 5]])}, max_tokens=64)
 
 
-def test_tiered_chunked_decode_matches_per_step(lm):
+def test_tiered_spec_decode_matches_per_step(lm, eng):
+    """spec_generate (prompt-lookup drafts verified in one lq=K+1 pass per
+    cold-tier stream) emits the same greedy stream as the in-HBM path —
+    rollback-free acceptance over the hot window is exact.  A repetitive
+    prompt exercises non-zero acceptance; a random one exercises the
+    all-reject path."""
+    rng = np.random.default_rng(3)
+    pattern = rng.integers(2, CFG.vocab_size, 12).astype(np.int32)
+    ids = np.tile(pattern, 12)[None, :130]  # repetitive -> drafts accept
+    for prompt in (ids, rng.integers(2, CFG.vocab_size, (1, 90)).astype(np.int32)):
+        dict_input = {"input_ids": prompt}
+        ref_toks, _ = _standard_reference(lm, dict_input, 9)
+        toks = eng.spec_generate(dict_input, max_tokens=10, k_draft=3,
+                                 n_iters=3)
+        assert toks == ref_toks[:10]
+
+
+def test_tiered_chunked_decode_matches_per_step(lm, eng):
     """decode_chunk (multi-token per dispatch, on-device argmax feedback)
     emits the same greedy stream as per-step decode and the in-HBM path."""
     rng = np.random.default_rng(2)
@@ -104,6 +126,5 @@ def test_tiered_chunked_decode_matches_per_step(lm):
     dict_input = {"input_ids": ids}
     ref_toks, _ = _standard_reference(lm, dict_input, 7)
 
-    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
     toks = eng.generate(dict_input, max_tokens=8, chunk_steps=3)
     assert toks == ref_toks[:8]
