@@ -405,15 +405,14 @@ def _tiered_spec_tps(window: int, max_tokens: int = 48, k_draft: int = 7,
     prefill_s = time.time() - t0
     tok = int(np.argmax(logits[0]))
     ids_p, _, _, _ = _pad_to_chunks(dict_input, eng.pc)
+    # Warm with ONE real dispatch (AOT lower().compile() does NOT fill the
+    # jit dispatch cache -- the first call would recompile remotely inside
+    # the timed loop).  The warmup advances hot offset by <= n_iters*lq;
+    # the hot window dwarfs that and the cold-stream cost is unchanged.
+    buf_w = init_token_buffer(ids_p, state.window)
+    eng.spec_decode(state, tok, buf_w, max_tokens=2, k_draft=k_draft,
+                    n_iters=n_iters)
     buf = init_token_buffer(ids_p, state.window)
-    # AOT-compile the spec chunk program so the timed loop is pure execution
-    fn = eng._spec_chunk_fn(ids_p.shape[0], len(state.cold_k), n_iters,
-                            k_draft)
-    fn.lower(
-        lm.params, jnp.asarray([[tok]], jnp.int32), tuple(state.hot.kv),
-        state.hot.offset, state.hot.valid, tuple(state.cold_k),
-        tuple(state.cold_s), state.cold_valid, state.cos, state.sin, buf,
-    ).compile()
     t0 = time.time()
     out, state = eng.spec_decode(state, tok, buf, max_tokens,
                                  k_draft=k_draft, n_iters=n_iters)

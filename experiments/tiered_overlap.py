@@ -15,12 +15,20 @@ lands where the time actually goes:
              ceiling the 12.9-GB scan measured).
   scanslice- jitted scan over layers: device_put(xs slice) + trivial
              reduce.  Isolates (a)+(c) without model compute.
-  scanfull - the real _tiered_layers decode step (mode A, today's code).
-  prefetch - scanfull with one-layer lookahead: xs carries layer i+1's
+  scanbig  - like scanslice but the per-chunk arrays are first merged
+             into ONE (nl, ...) host array per tensor, so each layer
+             does 2 transfers instead of 2*n_chunks.  Isolates (c)
+             (per-transfer fixed overhead) against scanslice.
+  scancomp - scanslice + a realistic per-layer compute proxy (dequant
+             + blockwise attention-shaped einsums) SERIAL with the
+             copy, today's engine pattern.  (b) = scancomp - scanslice.
+  scanpre  - scancomp with one-layer lookahead: xs carries layer i+1's
              host slices (layer axis pre-rolled), the carry holds layer
-             i's device copies, so the i+1 copy overlaps the i compute
-             (and, if XLA pipelines copy-done across iterations, the DMA
-             too).  PHI3V_TPU_TIERED_PREFETCH=1 in engine/tiered.py.
+             i's device copies, so the i+1 copy can overlap the i
+             compute.  If scanpre ~= max(scanslice, compute) the engine
+             should adopt the rolled-carry pattern; if scanpre ~=
+             scancomp, XLA does not overlap and the lever is dead.
+  scanfull - the real _tiered_layers decode step (mode A, today's code).
 
 Usage: python experiments/tiered_overlap.py [window] [variants...]
        (default window 32768; variants default to all)
@@ -39,7 +47,7 @@ import numpy as np
 from jax import lax
 
 WINDOW = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32768
-PC = 8192
+PC = int(os.environ.get("OVERLAP_PC", "8192"))
 HOT = 256
 REPS = 3
 
@@ -111,6 +119,102 @@ def variant_scanslice(cold_k, cold_s):
     return time_fn(lambda: f(tuple(cold_k), tuple(cold_s)))
 
 
+def variant_scanbig(cold_k, cold_s):
+    """One merged host array per tensor -> 2 transfers per layer total.
+    Same bytes as scanslice; isolates per-transfer fixed overhead (c)."""
+    dev = _sharding("device")
+    host = _sharding("pinned_host")
+    big_k = jax.device_put(
+        np.concatenate([np.asarray(c) for c in cold_k], axis=-1), host)
+    big_s = jax.device_put(
+        np.concatenate([np.asarray(c) for c in cold_s], axis=-1), host)
+    jax.block_until_ready((big_k, big_s))
+
+    @jax.jit
+    def f(big_k, big_s):
+        def body(acc, xs):
+            c, s = xs
+            cd = jax.device_put(c, dev)
+            sd = jax.device_put(s, dev)
+            return acc + jnp.sum(cd, dtype=jnp.int32) + jnp.sum(
+                sd.astype(jnp.float32)), None
+
+        acc, _ = lax.scan(body, jnp.zeros((), jnp.float32), (big_k, big_s))
+        return acc
+
+    return time_fn(lambda: f(big_k, big_s))
+
+
+def _compute_proxy(cfg, ck_d, cs_d, q, k_block):
+    """Per-layer per-chunk work shaped like the real tiered step: packed
+    int4 dequant + blockwise attention stats, reduced to a scalar."""
+    from phi_3_vision_mlx_tpu.engine.state import LayerKV, read_kv
+    from phi_3_vision_mlx_tpu.engine.tiered import (_stats_over, _zero_stats)
+
+    k, v = read_kv(LayerKV(k=ck_d, k_scales=cs_d), jnp.bfloat16, 4)
+    b, kvh, pc, d = k.shape
+    ok = jnp.ones((b, pc), bool)
+    st = _zero_stats(b, kvh, q.shape[2], q.shape[3], d)
+    st = _stats_over(q, k, v, ok, d ** -0.5, k_block, st)
+    return jnp.sum(st.acc) + jnp.sum(st.l)
+
+
+def _q_for(cfg):
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    g = cfg.num_attention_heads // kvh
+    return jnp.ones((1, kvh, g, 1, d), jnp.bfloat16)
+
+
+def variant_scancomp(cfg, cold_k, cold_s, k_block=2048):
+    """Copy + realistic compute, serial (today's engine pattern)."""
+    dev = _sharding("device")
+    q = _q_for(cfg)
+
+    @jax.jit
+    def f(cold_k, cold_s):
+        def body(acc, xs):
+            for c, s in zip(xs[0], xs[1]):
+                cd = jax.device_put(c, dev)
+                sd = jax.device_put(s, dev)
+                acc = acc + _compute_proxy(cfg, cd, sd, q, k_block)
+            return acc, None
+
+        acc, _ = lax.scan(body, jnp.zeros((), jnp.float32),
+                          (tuple(cold_k), tuple(cold_s)))
+        return acc
+
+    return time_fn(lambda: f(tuple(cold_k), tuple(cold_s)))
+
+
+def variant_scanpre(cfg, cold_k, cold_s, k_block=2048):
+    """Copy of layer i+1 starts while layer i computes: the carry holds the
+    CURRENT layer's device copies, xs delivers the NEXT layer's host
+    slices.  (Synthetic data -> no need to actually roll the layer axis;
+    the timing structure is what matters.)"""
+    dev = _sharding("device")
+    q = _q_for(cfg)
+    cur0_k = tuple(jax.device_put(np.asarray(c[0]), dev) for c in cold_k)
+    cur0_s = tuple(jax.device_put(np.asarray(c[0]), dev) for c in cold_s)
+    jax.block_until_ready((cur0_k, cur0_s))
+
+    @jax.jit
+    def f(cold_k, cold_s, cur_k, cur_s):
+        def body(carry, xs):
+            acc, cur_k, cur_s = carry
+            nxt_k = tuple(jax.device_put(c, dev) for c in xs[0])
+            nxt_s = tuple(jax.device_put(s, dev) for s in xs[1])
+            for cd, sd in zip(cur_k, cur_s):
+                acc = acc + _compute_proxy(cfg, cd, sd, q, k_block)
+            return (acc, nxt_k, nxt_s), None
+
+        (acc, _, _), _ = lax.scan(
+            body, (jnp.zeros((), jnp.float32), cur_k, cur_s),
+            (tuple(cold_k), tuple(cold_s)))
+        return acc
+
+    return time_fn(lambda: f(tuple(cold_k), tuple(cold_s), cur0_k, cur0_s))
+
+
 def _engine(window):
     from bench import synth_quantized_params
     from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
@@ -150,13 +254,16 @@ def variant_scanfull(eng, window, n_steps=4):
     return dt / n_steps, prefill_s
 
 
+SYNTH_VARIANTS = ("raw", "scanslice", "scanbig", "scancomp", "scanpre")
+
+
 def main():
     variants = [v for v in sys.argv[1:] if not v.isdigit()] or [
-        "raw", "scanslice", "scanfull", "prefetch"]
+        "raw", "scanslice", "scanbig", "scancomp", "scanpre", "scanfull"]
     out = {"window": WINDOW, "pc": PC}
     n_chunks = WINDOW // PC
 
-    if "raw" in variants or "scanslice" in variants:
+    if any(v in variants for v in SYNTH_VARIANTS):
         from phi_3_vision_mlx_tpu.core.config import QuantConfig, preset
 
         cfg = preset("phi35_mini").replace(
@@ -166,29 +273,35 @@ def main():
         cold_k, cold_s = synth_cold(cfg, n_chunks)
         gb = gbytes(cold_k, cold_s)
         out["cold_gb"] = round(gb, 2)
-        if "raw" in variants:
-            dt = variant_raw(cold_k, cold_s)
-            out["raw_gbps"] = round(gb / dt, 2)
-            print(json.dumps({"variant": "raw", "s": round(dt, 3),
-                              "gbps": out["raw_gbps"]}), flush=True)
-        if "scanslice" in variants:
-            dt = variant_scanslice(cold_k, cold_s)
-            out["scanslice_gbps"] = round(gb / dt, 2)
-            print(json.dumps({"variant": "scanslice", "s": round(dt, 3),
-                              "gbps": out["scanslice_gbps"]}), flush=True)
+        runners = {
+            "raw": lambda: variant_raw(cold_k, cold_s),
+            "scanslice": lambda: variant_scanslice(cold_k, cold_s),
+            "scanbig": lambda: variant_scanbig(cold_k, cold_s),
+            "scancomp": lambda: variant_scancomp(cfg, cold_k, cold_s),
+            "scanpre": lambda: variant_scanpre(cfg, cold_k, cold_s),
+        }
+        for name in SYNTH_VARIANTS:
+            if name not in variants:
+                continue
+            try:
+                dt = runners[name]()
+            except Exception as e:  # keep sweeping; record the failure
+                out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+                print(json.dumps({"variant": name,
+                                  "error": out[f"{name}_error"]}), flush=True)
+                continue
+            out[f"{name}_gbps"] = round(gb / dt, 2)
+            print(json.dumps({"variant": name, "s": round(dt, 3),
+                              "gbps": out[f"{name}_gbps"]}), flush=True)
         del cold_k, cold_s
 
-    for name, env in (("scanfull", "0"), ("prefetch", "1")):
-        if name not in variants:
-            continue
-        os.environ["PHI3V_TPU_TIERED_PREFETCH"] = env
+    if "scanfull" in variants:
         eng = _engine(WINDOW)
         per_step, prefill_s = variant_scanfull(eng, WINDOW)
-        gb_step = (WINDOW - HOT) / PC * (
-            out.get("cold_gb", 0) / max(1, WINDOW // PC)) or None
-        out[f"{name}_s_per_tok"] = round(per_step, 3)
-        out[f"{name}_tps"] = round(1.0 / per_step, 3)
-        print(json.dumps({"variant": name, "s_per_tok": round(per_step, 3),
+        out["scanfull_s_per_tok"] = round(per_step, 3)
+        out["scanfull_tps"] = round(1.0 / per_step, 3)
+        print(json.dumps({"variant": "scanfull",
+                          "s_per_tok": round(per_step, 3),
                           "tps": round(1.0 / per_step, 3),
                           "prefill_s": round(prefill_s, 1)}), flush=True)
         del eng

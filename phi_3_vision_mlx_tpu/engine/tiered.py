@@ -357,13 +357,12 @@ class TieredEngine:
         self._prefill_fns[key] = jfn
         return self._prefill_fns[key]
 
-    def _decode_fn(self, b: int, n_chunks: int):
-        key = (b, n_chunks)
+    def _decode_fn(self, b: int, n_chunks: int, C: int):
+        key = (b, n_chunks, C)
         if key in self._decode_fns:
             return self._decode_fns[key]
         cfg, kb = self.cfg, self.k_block
         dev = _dev_sharding()
-        C = n_chunks * self.pc  # static cold length for this program
 
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
                cold_s, cold_valid, cos, sin):
@@ -430,18 +429,18 @@ class TieredEngine:
                             C=l_pad, PC=pc)
         return np.asarray(jax.device_get(logits), np.float32), state
 
-    def _decode_chunk_fn(self, b: int, n_chunks: int, n_steps: int):
+    def _decode_chunk_fn(self, b: int, n_chunks: int, C: int,
+                         n_steps: int):
         """Greedy multi-step decode in ONE dispatch: an outer scan over
         ``n_steps`` feeds argmax back on device, re-streaming the cold tier
         per step (attention must re-read it; that is the exact-attention
         floor) but paying the host/tunnel round trip once per chunk instead
         of once per token (~1 s/step on the axon tunnel)."""
-        key = ("chunk", b, n_chunks, n_steps)
+        key = ("chunk", b, n_chunks, C, n_steps)
         if key in self._decode_fns:
             return self._decode_fns[key]
         cfg, kb = self.cfg, self.k_block
         dev = _dev_sharding()
-        C = n_chunks * self.pc
 
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
                cold_s, cold_valid, cos, sin):
@@ -484,7 +483,7 @@ class TieredEngine:
 
         Returns ((n_steps, B) int32 tokens, state)."""
         fn = self._decode_chunk_fn(state.hot.valid.shape[0],
-                                   len(state.cold_k), n_steps)
+                                   len(state.cold_k), state.C, n_steps)
         toks, hot_kv = fn(
             self.lm.params, jnp.asarray(tok), tuple(state.hot.kv),
             state.hot.offset, state.hot.valid, tuple(state.cold_k),
@@ -495,7 +494,7 @@ class TieredEngine:
         )
         return np.asarray(jax.device_get(toks)), state
 
-    def _spec_chunk_fn(self, b: int, n_chunks: int, n_iters: int,
+    def _spec_chunk_fn(self, b: int, n_chunks: int, C: int, n_iters: int,
                        k_draft: int):
         """Speculative multi-iteration decode in ONE dispatch.
 
@@ -515,14 +514,13 @@ class TieredEngine:
         async-start rejects); the caller bounds iteration count host-side
         instead and trims overshoot (spec_decode).
         """
-        key = ("spec", b, n_chunks, n_iters, k_draft)
+        key = ("spec", b, n_chunks, C, n_iters, k_draft)
         if key in self._decode_fns:
             return self._decode_fns[key]
         from .speculative import propose_drafts
 
         cfg, kb = self.cfg, self.k_block
         dev = _dev_sharding()
-        C = n_chunks * self.pc
         lq = k_draft + 1
 
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
@@ -629,7 +627,7 @@ class TieredEngine:
             # keeping n_use off the budget means at most TWO program sizes
             # ever compile (n_iters + a room-capped final dispatch)
             n_use = min(n_iters, room)
-            fn = self._spec_chunk_fn(b, nc, n_use, k_draft)
+            fn = self._spec_chunk_fn(b, nc, state.C, n_use, k_draft)
             toks, n_emits, off, hot_kv, buf = fn(
                 self.lm.params, jnp.asarray([[tok]], jnp.int32),
                 tuple(state.hot.kv), state.hot.offset, state.hot.valid,
@@ -649,9 +647,39 @@ class TieredEngine:
                         return out[:max_tokens], state
         return out[:max_tokens], state
 
+    def consolidate(self, state: TieredState, group: int) -> TieredState:
+        """Merge cold chunks in groups of ``group`` along the column axis.
+
+        Each decode layer pass then issues 2 host->device transfers per
+        GROUP instead of 2 per chunk — same bytes, ``group``x fewer
+        transfers, so per-transfer fixed overhead (and per-slice host work)
+        amortizes.  One-time host cost: a numpy concat + re-pin of the
+        whole cold tier.  Numerics are unchanged (the per-chunk stats loop
+        sees identical columns in identical order; tests/test_tiered.py).
+        """
+        n = len(state.cold_k)
+        if group <= 1 or n <= 1:
+            return state
+        if n % group:
+            raise ValueError(f"{n} cold chunks do not group by {group}")
+        host = _host_sharding()
+        new_k, new_s = [], []
+        for i in range(0, n, group):
+            nk = np.concatenate(
+                [np.asarray(c) for c in state.cold_k[i : i + group]], axis=-1)
+            ns = np.concatenate(
+                [np.asarray(c) for c in state.cold_s[i : i + group]], axis=-1)
+            new_k.append(jax.device_put(nk, host))
+            new_s.append(jax.device_put(ns, host))
+        jax.block_until_ready((new_k, new_s))
+        state.cold_k, state.cold_s = new_k, new_s
+        state.PC = state.PC * group
+        return state
+
     def decode_step(self, state: TieredState, tok) -> Tuple[np.ndarray, TieredState]:
         """One greedy-ready step: (B,1) token ids -> (B, V) f32 logits."""
-        fn = self._decode_fn(state.hot.valid.shape[0], len(state.cold_k))
+        fn = self._decode_fn(state.hot.valid.shape[0], len(state.cold_k),
+                             state.C)
         logits, hot_kv = fn(
             self.lm.params, jnp.asarray(tok), tuple(state.hot.kv),
             state.hot.offset, state.hot.valid, tuple(state.cold_k),
