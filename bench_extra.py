@@ -541,7 +541,9 @@ def serve():
 
     lm, proc = _lm()
     slots = int(os.environ.get("BENCH_SLOT_COUNT", "4"))
-    eng = BatchEngine(lm, proc, slots=slots, window=512)
+    depth = int(os.environ.get("BENCH_SERVE_DEPTH", "1"))
+    eng = BatchEngine(lm, proc, slots=slots, window=512,
+                      pipeline_depth=depth)
     # warmup: compile prefill + adopt + step
     r0 = eng.submit("warmup request", max_tokens=8)
     while eng.pending():
@@ -601,7 +603,8 @@ def serve():
         "unit": "tok/s aggregate",
         "note": f"{2 * slots} staggered requests over {slots} slots, {total} tokens in "
                 f"{dt:.1f}s ({steps} dispatches of {chunk}-step chunks, "
-                f"pipelined={pipelined}, batched_admission={admit_batched})",
+                f"pipelined={pipelined}, depth={depth}, "
+                f"batched_admission={admit_batched})",
     }
 
 

@@ -24,7 +24,7 @@ int4/int8-quantized cache (engine/state.py layouts).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -522,7 +522,7 @@ class BatchEngine:
     """
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
-                 seed: int = 0, spec_k: int = 0):
+                 seed: int = 0, spec_k: int = 0, pipeline_depth: int = 1):
         from .engine import LM  # noqa: F401  (type only)
 
         self.lm = lm
@@ -551,7 +551,12 @@ class BatchEngine:
         self._adopt_fns = {}
         self._base_key = jax.random.PRNGKey(seed)
         self._chunk_i = 0
-        self._inflight: object = None  # _ChunkHandle enqueued by step_pipelined
+        # _ChunkHandles enqueued by step_pipelined, oldest first.  Depth >1
+        # keeps several chunks in flight so a long dispatch+fetch round trip
+        # (a remote tunnel) amortizes across depth chunks instead of gating
+        # every tick; cost: completion detected up to `depth` chunks late.
+        self._inflight: list = []
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # Tokens trimmed by an internal flush (e.g. paged reservation under
         # pool pressure) that no caller has picked up yet; merged into the
         # next collect()'s return value so streaming callers never lose them.
@@ -750,7 +755,7 @@ class BatchEngine:
     # -- decode -------------------------------------------------------------
 
     def pending(self) -> bool:
-        return bool(self.by_slot) or self._inflight is not None
+        return bool(self.by_slot) or bool(self._inflight)
 
     def _sampling_vectors(self):
         """(temps, top_ps, top_ks, min_ps) device vectors, or Nones when
@@ -845,8 +850,8 @@ class BatchEngine:
         Returns {rid: [tokens...]} including any tokens trimmed by internal
         flushes since the last collect.
         """
-        if handle is self._inflight:
-            self._inflight = None
+        if handle is not None and any(h is handle for h in self._inflight):
+            self._inflight = [h for h in self._inflight if h is not handle]
         out, self._orphan_out = self._orphan_out, {}
         if handle is None:
             return out
@@ -884,9 +889,17 @@ class BatchEngine:
         return out
 
     def flush(self) -> Dict[int, List[int]]:
-        """Collect the in-flight pipelined chunk, if any."""
-        h, self._inflight = self._inflight, None
-        return self.collect(h)
+        """Collect ALL in-flight pipelined chunks, oldest first."""
+        out = self.collect(None)  # drains orphaned tokens
+        while self._inflight:
+            h = self._inflight.pop(0)
+            for rid, toks in self.collect(h).items():
+                out.setdefault(rid, []).extend(toks)
+        return out
+
+    def _pending_growth(self) -> int:
+        """Worst-case cache-column growth of every uncollected chunk."""
+        return sum(h.growth for h in self._inflight)
 
     def step(self, n_steps: int = 1) -> Dict[int, List[int]]:
         """``n_steps`` decode steps (one dispatch) for all active slots.
@@ -903,22 +916,32 @@ class BatchEngine:
                 out.setdefault(rid, []).extend(toks)
         return out
 
-    def step_pipelined(self, n_steps: int = 1) -> Dict[int, List[int]]:
+    def step_pipelined(self, n_steps: int = 1,
+                       depth: Optional[int] = None) -> Dict[int, List[int]]:
         """One pipelined tick: enqueue the NEXT chunk before collecting the
         previous one.
 
         The device runs chunk k+1 while the host fetches chunk k's tokens,
         trims, and runs any admission prefills the caller interleaves —
-        hiding the per-chunk dispatch+fetch latency (~80 ms through a remote
-        tunnel; +40% serving throughput at 32-step chunks).  Cost: request
-        completion is detected one chunk late, so each request wastes at
-        most one chunk of device steps (the stale tokens are discarded; the
-        freed slot's cache columns are reset at the next adoption).  Call
-        :meth:`flush` after the loop to collect the final chunk.
+        hiding the per-chunk dispatch+fetch latency.  ``depth`` (default:
+        the engine's ``pipeline_depth``) sets how many chunks stay in
+        flight: once the pipe fills, per-tick wall time approaches the
+        device execute time instead of the dispatch+fetch round trip
+        (~0.8 s through a contended remote tunnel).  Cost: request
+        completion is detected up to ``depth`` chunks late, so each request
+        wastes at most ``depth`` chunks of device steps (the stale tokens
+        are discarded; the freed slot's cache columns are reset at the next
+        adoption).  Call :meth:`flush` after the loop to collect the final
+        chunk(s).
         """
+        if depth is None:
+            depth = self.pipeline_depth
         h = self.dispatch(n_steps)  # may internally flush under pool pressure
-        prev, self._inflight = self._inflight, h
-        return self.collect(prev)  # collect(None) still drains orphaned tokens
+        if h is not None:
+            self._inflight.append(h)
+        if len(self._inflight) > depth or (h is None and self._inflight):
+            return self.collect(self._inflight.pop(0))
+        return self.collect(None)  # still drains orphaned tokens
 
     def _spec_fn(self, n_passes: int, sampling: bool):
         """Compiled speculative chunk (subclasses swap the state/step impl)."""
@@ -1031,7 +1054,7 @@ class BatchEngine:
         self.free = list(range(self.slots))
         for slot in range(self.slots):
             self._on_slot_freed(slot)
-        self._inflight = None  # its results belong to the failed requests
+        self._inflight = []  # their results belong to the failed requests
         self._orphan_out = {}
         self.state = self._init_state()
 

@@ -582,7 +582,7 @@ class PagedBatchEngine(BatchEngine):
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
                  page_size: int = 64, pool_pages: int = 0, seed: int = 0,
-                 spec_k: int = 0):
+                 spec_k: int = 0, pipeline_depth: int = 1):
         if 64 % page_size and page_size % 64:
             raise ValueError("page_size must divide or be a multiple of 64")
         if window % page_size:
@@ -593,7 +593,7 @@ class PagedBatchEngine(BatchEngine):
         self._slot_pages: Dict[int, List[int]] = {}
         self.preempted: List[int] = []  # rids awaiting recompute resume
         super().__init__(lm, processor, slots=slots, window=window, seed=seed,
-                         spec_k=spec_k)
+                         spec_k=spec_k, pipeline_depth=pipeline_depth)
 
     def _init_state(self):
         return _init_paged(
@@ -846,9 +846,7 @@ class PagedBatchEngine(BatchEngine):
         """
         growth = n_steps * (self.spec_k + 1) if use_spec else n_steps
         while True:
-            pending = (
-                self._inflight.growth if self._inflight is not None else 0
-            )
+            pending = self._pending_growth()
             shortfall = sum(
                 max(0, self._pages_needed(r, pending + growth)
                     - len(self._slot_pages[r.slot]))
@@ -856,7 +854,7 @@ class PagedBatchEngine(BatchEngine):
             ) - len(self._free_pages)
             if shortfall <= 0:
                 break
-            if self._inflight is not None:
+            if self._inflight:
                 for rid, toks in self.flush().items():
                     self._orphan_out.setdefault(rid, []).extend(toks)
                 if not self.by_slot:
@@ -874,7 +872,7 @@ class PagedBatchEngine(BatchEngine):
                 return False
             victim = max(self.by_slot.values(), key=lambda r: r.rid)
             self._preempt(victim)
-        pending = self._inflight.growth if self._inflight is not None else 0
+        pending = self._pending_growth()
         # Pre-allocate, per active slot.
         for slot, req in self.by_slot.items():
             needed = self._pages_needed(req, pending + growth)

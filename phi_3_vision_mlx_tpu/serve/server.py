@@ -294,6 +294,7 @@ def serve(
     window: int = 1024,
     paged: bool = False,
     spec_k: int = 0,
+    pipeline_depth: int = 1,
     **load_kwargs,
 ):
     from ..api import load
@@ -303,6 +304,8 @@ def serve(
         from http.server import ThreadingHTTPServer
 
         engine_kw = {"spec_k": spec_k} if spec_k else {}
+        if pipeline_depth > 1:
+            engine_kw["pipeline_depth"] = pipeline_depth
         scheduler = ContinuousScheduler(
             *preload, slots=slots, window=window, paged=paged, **engine_kw
         )
@@ -334,9 +337,14 @@ if __name__ == "__main__":
     ap.add_argument("--spec-k", type=int, default=0,
                     help="per-slot speculative decoding: verify K "
                          "prompt-lookup drafts per step (greedy chunks only)")
+    ap.add_argument("--pipeline-depth", type=int, default=1,
+                    help="decode chunks kept in flight by the pump; >1 "
+                         "amortizes a long dispatch round trip (remote "
+                         "tunnel) at the cost of detecting request "
+                         "completion up to depth chunks late")
     a = ap.parse_args()
     serve(
         a.host, a.port, blind_model=a.blind, quantize_model=a.quantize,
         continuous=a.continuous, slots=a.slots, window=a.window, paged=a.paged,
-        spec_k=a.spec_k,
+        spec_k=a.spec_k, pipeline_depth=a.pipeline_depth,
     )

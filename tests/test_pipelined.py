@@ -92,6 +92,39 @@ def test_pipelined_step_return_covers_all_tokens(lmproc):
     assert len(got) <= 9
 
 
+def test_depth_pipelined_matches_sync(lmproc):
+    """depth=3 (several chunks in flight, for long dispatch round trips)
+    emits the same per-request streams as the synchronous path, across
+    mid-flight admissions, and wastes at most depth chunks per finish."""
+    lm, proc = lmproc
+    factory = lambda: BatchEngine(lm, proc, slots=2, window=128,  # noqa: E731
+                                  pipeline_depth=3)
+    es, rs = _run_sync(lambda: BatchEngine(lm, proc, slots=2, window=128),
+                       PROMPTS)
+    ep, rp = _run_pipelined(factory, PROMPTS, stagger=2)
+    sync_tokens = sorted(tuple(es.tokens(r)) for r in rs)
+    pipe_tokens = sorted(tuple(ep.tokens(r)) for r in rp)
+    assert sync_tokens == pipe_tokens
+
+
+def test_depth_pipelined_paged_with_preemption(lmproc):
+    """depth=2 over the paged pool: the reserve path must count EVERY
+    uncollected chunk's worst-case growth before allocating."""
+    lm, proc = lmproc
+    submits = [("Preempt pressure one two three.", 20),
+               ("Second request under pressure.", 20)]
+    sync_f = lambda: PagedBatchEngine(  # noqa: E731
+        lm, proc, slots=2, window=256, page_size=32, pool_pages=5)
+    deep_f = lambda: PagedBatchEngine(  # noqa: E731
+        lm, proc, slots=2, window=256, page_size=32, pool_pages=5,
+        pipeline_depth=2)
+    es, rs = _run_sync(sync_f, submits, chunk=4)
+    ep, rp = _run_pipelined(deep_f, submits, chunk=4, stagger=1)
+    sync_tokens = sorted(tuple(es.tokens(r)) for r in rs)
+    pipe_tokens = sorted(tuple(ep.tokens(r)) for r in rp)
+    assert sync_tokens == pipe_tokens
+
+
 def test_pipelined_matches_sync_paged_with_preemption(lmproc):
     """A pool sized to force preemption mid-run: the pipelined path must
     flush-then-preempt and still finish every request with the same tokens
