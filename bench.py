@@ -22,6 +22,15 @@ os.environ.setdefault("PHI3V_TPU_DECODE_CHUNK_MIN", "256")
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: remote (tunnel) compiles of the full-size
+# model cost ~10-15 min per fresh process; cached reloads are instant.
+# Opt out with JAX_COMPILATION_CACHE_DIR=""; keys include jax version,
+# backend, and program, so stale entries are never wrongly reused.
+_cc = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+if _cc:
+    jax.config.update("jax_compilation_cache_dir", _cc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_TPS = 61.01
 
 

@@ -33,6 +33,15 @@ os.environ.setdefault("BENCH_QUANT_MODE", "affine")
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: remote (tunnel) compiles of the full-size
+# model cost ~10-15 min per fresh process; cached reloads are instant.
+# Opt out with JAX_COMPILATION_CACHE_DIR=""; keys include jax version,
+# backend, and program, so stale entries are never wrongly reused.
+_cc = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+if _cc:
+    jax.config.update("jax_compilation_cache_dir", _cc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 
@@ -317,6 +326,9 @@ def _tiered_tps(window: int, max_tokens: int = 12, chunk: int = 8192,
     t0 = time.time()
     logits, state = eng.prefill(dict_input)
     prefill_s = time.time() - t0
+    group = int(os.environ.get("PHI3V_TPU_TIERED_GROUP", "1"))
+    if group > 1:  # merge cold chunks: fewer, larger PCIe transfers
+        state = eng.consolidate(state, group)
     tok = int(np.argmax(logits[0]))
     # chunked decode (argmax feedback on device): the cold tier still
     # streams once per token — exact attention — but the host/tunnel round
@@ -403,6 +415,9 @@ def _tiered_spec_tps(window: int, max_tokens: int = 48, k_draft: int = 7,
     t0 = time.time()
     logits, state = eng.prefill(dict_input)
     prefill_s = time.time() - t0
+    group = int(os.environ.get("PHI3V_TPU_TIERED_GROUP", "1"))
+    if group > 1:
+        state = eng.consolidate(state, group)
     tok = int(np.argmax(logits[0]))
     ids_p, _, _, _ = _pad_to_chunks(dict_input, eng.pc)
     # Warm with ONE real dispatch (AOT lower().compile() does NOT fill the
@@ -540,8 +555,8 @@ def serve():
     from phi_3_vision_mlx_tpu.engine.batching import BatchEngine
 
     lm, proc = _lm()
-    slots = int(os.environ.get("BENCH_SLOT_COUNT", "4"))
-    depth = int(os.environ.get("BENCH_SERVE_DEPTH", "1"))
+    slots = int(os.environ.get("BENCH_SLOT_COUNT", "8"))
+    depth = int(os.environ.get("BENCH_SERVE_DEPTH", "2"))
     eng = BatchEngine(lm, proc, slots=slots, window=512,
                       pipeline_depth=depth)
     # warmup: compile prefill + adopt + step
@@ -567,44 +582,57 @@ def serve():
     # admission worker.  BENCH_SERVE_ADMIT_BATCH=0 restores per-request.
     admit_batched = os.environ.get("BENCH_SERVE_ADMIT_BATCH", "1") != "0"
 
-    t0 = time.perf_counter()
-    rids = []
-    pending_submits = [
-        (f"Request {i}: tell a story about topic {i}.", 128 + 32 * (i % 4))
-        for i in range(2 * slots)
-    ]
-    steps = 0
-    while pending_submits or eng.pending():
-        # admit into EVERY free slot (one-per-chunk admission starves slots)
-        if pending_submits and eng.free:
-            n_adm = min(len(pending_submits), len(eng.free))
-            take, pending_submits = (pending_submits[:n_adm],
-                                     pending_submits[n_adm:])
-            if admit_batched and n_adm > 1:
-                prepared = eng.prepare_many(
-                    [p for p, _ in take],
-                    [dict(max_tokens=n) for _, n in take],
-                )
-                rids += [eng.admit(p) for p in prepared]
-            else:
-                rids += [eng.submit(p, max_tokens=n) for p, n in take]
-        if eng.pending():
-            if pipelined:
-                eng.step_pipelined(chunk)
-            else:
-                eng.step(chunk)
-            steps += 1
-    eng.flush()
-    dt = time.perf_counter() - t0
-    total = sum(len(eng.requests[r].tokens) for r in rids)
+    def one_rep():
+        t0 = time.perf_counter()
+        rids = []
+        pending_submits = [
+            (f"Request {i}: tell a story about topic {i}.", 128 + 32 * (i % 4))
+            for i in range(2 * slots)
+        ]
+        steps = 0
+        while pending_submits or eng.pending():
+            # admit into EVERY free slot (one-per-chunk admission starves
+            # slots)
+            if pending_submits and eng.free:
+                n_adm = min(len(pending_submits), len(eng.free))
+                take, pending_submits = (pending_submits[:n_adm],
+                                         pending_submits[n_adm:])
+                if admit_batched and n_adm > 1:
+                    prepared = eng.prepare_many(
+                        [p for p, _ in take],
+                        [dict(max_tokens=n) for _, n in take],
+                    )
+                    rids += [eng.admit(p) for p in prepared]
+                else:
+                    rids += [eng.submit(p, max_tokens=n) for p, n in take]
+            if eng.pending():
+                if pipelined:
+                    eng.step_pipelined(chunk)
+                else:
+                    eng.step(chunk)
+                steps += 1
+        eng.flush()
+        dt = time.perf_counter() - t0
+        total = sum(len(eng.requests[r].tokens) for r in rids)
+        return total / dt, total, dt, steps
+
+    # Best of N reps (the repo-wide bench convention, cf. _decode_tps):
+    # the tunnel's per-dispatch round trip swings ~10x between sessions
+    # and within one, so a single rep conflates scheduler quality with
+    # tunnel weather.  All rep values land in the note.
+    reps = max(1, int(os.environ.get("BENCH_SERVE_REPS", "3")))
+    runs = [one_rep() for _ in range(reps)]
+    tps, total, dt, steps = max(runs, key=lambda r: r[0])
     return {
         "metric": "serving_aggregate_tps_continuous_batching",
-        "value": round(total / dt, 2),
+        "value": round(tps, 2),
         "unit": "tok/s aggregate",
         "note": f"{2 * slots} staggered requests over {slots} slots, {total} tokens in "
                 f"{dt:.1f}s ({steps} dispatches of {chunk}-step chunks, "
                 f"pipelined={pipelined}, depth={depth}, "
-                f"batched_admission={admit_batched})",
+                f"batched_admission={admit_batched}); best of {reps} reps "
+                f"{[round(r[0], 1) for r in runs]} "
+                f"(tunnel RTT varies ~10x between sessions)",
     }
 
 
@@ -641,9 +669,11 @@ def serve_spec():
     proc = Phi3Processor(tokenizer=ByteTokenizer())
 
     pipelined = os.environ.get("BENCH_SERVE_PIPELINE", "1") != "0"
+    depth = int(os.environ.get("BENCH_SERVE_DEPTH", "2"))
 
     def run(spec_k, chunk):
-        eng = BatchEngine(lm, proc, slots=4, window=512, spec_k=spec_k)
+        eng = BatchEngine(lm, proc, slots=4, window=512, spec_k=spec_k,
+                          pipeline_depth=depth)
         r0 = eng.submit("warmup", max_tokens=8)
         while eng.pending():
             eng.step(chunk)
@@ -669,7 +699,8 @@ def serve_spec():
 
     def run_mixed(spec_k, chunk):
         """Half the requests sample (rejection-verified drafts), half greedy."""
-        eng = BatchEngine(lm, proc, slots=4, window=512, spec_k=spec_k, seed=11)
+        eng = BatchEngine(lm, proc, slots=4, window=512, spec_k=spec_k,
+                          seed=11, pipeline_depth=depth)
         r0 = eng.submit("warmup", max_tokens=8, temperature=0.8)
         while eng.pending():
             eng.step(chunk)
