@@ -23,6 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the quick suite spends most of its single
+# CPU core compiling the same tiny-model programs run after run.  Cached
+# compiles are keyed on jax version + backend + program, so reuse is safe;
+# opt out with PHI3V_TPU_TEST_CC="".
+_cc = os.environ.get("PHI3V_TPU_TEST_CC", "/root/.cache/jax_comp_cpu")
+if _cc:
+    jax.config.update("jax_compilation_cache_dir", _cc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
