@@ -353,7 +353,9 @@ def tiered64k():
     expected (each token re-reads the full cold cache over PCIe; exact
     attention's floor), OOM is not."""
     tps, prefill_s, nc = _tiered_tps(65536, max_tokens=12)
+    g = int(os.environ.get("PHI3V_TPU_TIERED_GROUP", "1"))
     return {"metric": "decode_tps_quantized_cache_64k_window_tiered",
+            **({"consolidate_group": g} if g > 1 else {}),
             "value": round(tps, 3), "unit": "tok/s",
             "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
             "note": "pinned-host cold KV, exact two-tier attention; "
@@ -365,7 +367,9 @@ def tiered128k():
     phi.py:528-540 serves it on a 64 GB Mac).  Cold tier ~16 GB pinned host;
     per-token cost = streaming it over PCIe."""
     tps, prefill_s, nc = _tiered_tps(131072, max_tokens=8)
+    g = int(os.environ.get("PHI3V_TPU_TIERED_GROUP", "1"))
     return {"metric": "decode_tps_quantized_cache_128k_window_tiered",
+            **({"consolidate_group": g} if g > 1 else {}),
             "value": round(tps, 3), "unit": "tok/s",
             "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
             "note": "full reference-parity window on a fractional chip"}

@@ -57,19 +57,30 @@ def _sharding(kind):
 
 
 def synth_cold(cfg, n_chunks, b=1, seed=0):
-    """Random packed cold tier straight into pinned_host."""
+    """Random packed cold tier into pinned_host.
+
+    Placement goes through a jitted identity with host ``out_shardings`` —
+    the same mechanism the engine's prefill eviction uses — because an
+    EAGER ``device_put(np_array, pinned_host_sharding)`` is not reliably
+    honored by every PJRT plugin (a silent device placement makes every
+    'stream' below a device-local read and the numbers nonsense).  The
+    memory kind is asserted after placement.
+    """
     rng = np.random.default_rng(seed)
     nl, kvh, d = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     g = max(1, d // cfg.kv_quant.group_size)
     host = _sharding("pinned_host")
+    to_host = jax.jit(lambda x: x, out_shardings=host)
     cold_k, cold_s = [], []
     for _ in range(n_chunks):
         pay = rng.integers(0, 256, (nl, b, kvh, d, PC), dtype=np.uint8)
         sc = (rng.standard_normal((nl, b, kvh, 4 * g, PC)) * 0.02).astype(
             jnp.bfloat16.dtype)
-        cold_k.append(jax.device_put(pay, host))
-        cold_s.append(jax.device_put(sc, host))
+        cold_k.append(to_host(pay))
+        cold_s.append(to_host(sc))
     jax.block_until_ready((cold_k, cold_s))
+    for a in (cold_k[0], cold_s[0]):
+        assert a.sharding.memory_kind == "pinned_host", a.sharding
     return cold_k, cold_s
 
 

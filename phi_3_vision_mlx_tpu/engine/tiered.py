@@ -168,7 +168,8 @@ def _dequant_cold(payload, scales, bits: int, dtype):
 
 def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
                    cold_k: Tuple, cold_s: Tuple, cold_valid, cos, sin,
-                   hot_offset, hot_valid, *, k_block: int, dev_sharding):
+                   hot_offset, hot_valid, *, k_block: int, dev_sharding,
+                   dev0: Optional[Tuple] = None):
     """Run all decoder layers with two-tier attention.
 
     cold_k / cold_s: tuples of per-chunk stacked host arrays
@@ -177,16 +178,33 @@ def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
     hot_kv: None during prefill (the chunk's own KV plays the "hot" role
     via self-attention and is returned for eviction).
     Returns (x, new_hot_kv, evicted (nl,B,KV,rows,L) + scales or None).
+
+    dev0: PREFETCH mode — ``(dev0_k, dev0_s)`` device-resident layer-0
+    slices per chunk.  The cold arrays must then be stored ROLLED by -1 on
+    the layer axis (index j holds layer j+1): iteration i computes layer i
+    from device copies carried in from iteration i-1 while STARTING the
+    copy of layer i+1 from its xs slice, so the PCIe stream overlaps the
+    layer compute (measured at the link ceiling in
+    experiments/tiered_overlap.py scanpre vs 24% slower serialized).
+    The last iteration's fetch wraps to layer 0 and is discarded
+    (~1/nl wasted bandwidth).
     """
     nl = cfg.num_hidden_layers
     light, heavy = _partition_heavy(layer_params)
     scale = cfg.head_dim ** -0.5
     b, lq, _ = x.shape
     kvh, g = cfg.num_key_value_heads, cfg.num_attention_heads // cfg.num_key_value_heads
+    prefetch = dev0 is not None
 
     def body(carry, xs):
-        y, hkv = carry
-        lp, i, ck, cs = xs
+        if prefetch:
+            y, hkv, cur_k, cur_s = carry
+            lp, i, ck, cs = xs  # ck/cs: NEXT layer's host slices (rolled)
+            nxt_k = tuple(jax.device_put(c, dev_sharding) for c in ck)
+            nxt_s = tuple(jax.device_put(c, dev_sharding) for c in cs)
+        else:
+            y, hkv = carry
+            lp, i, ck, cs = xs
         h = rms_norm(y, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
         qkv = _dense_at(lp, heavy, ("self_attn", "qkv_proj"), h, i)
         q, k, v = _qkv_split(cfg, qkv)
@@ -195,11 +213,15 @@ def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
         qg = _fold_q(q, kvh)
 
         st = _zero_stats(b, kvh, g, lq, cfg.head_dim)
-        # cold tier: stream each chunk's layer slice host->device
-        for ci, (ck_c, cs_c) in enumerate(zip(ck, cs)):
-            pc = ck_c.shape[-1]
-            ck_d = jax.device_put(ck_c, dev_sharding)
-            cs_d = jax.device_put(cs_c, dev_sharding)
+        # cold tier: this layer's columns (prefetched device copies in
+        # prefetch mode; streamed host->device here otherwise)
+        for ci in range(len(ck)):
+            if prefetch:
+                ck_d, cs_d = cur_k[ci], cur_s[ci]
+            else:
+                ck_d = jax.device_put(ck[ci], dev_sharding)
+                cs_d = jax.device_put(cs[ci], dev_sharding)
+            pc = ck_d.shape[-1]
             kc, vc = _dequant_cold(ck_d, cs_d, cfg.kv_quant.bits, y.dtype)
             ok = lax.dynamic_slice_in_dim(cold_valid, ci * pc, pc, 1)
             st = _stats_over(qg, kc, vc, ok, scale, k_block, st)
@@ -235,10 +257,16 @@ def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
             jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, i,
         )
         y = y + mlp.astype(y.dtype)
+        if prefetch:
+            return (y, hkv, nxt_k, nxt_s), evicted
         return (y, hkv), evicted
 
     xs = (light, jnp.arange(nl), cold_k, cold_s)
-    (x, hot_kv), evicted = lax.scan(body, (x, hot_kv), xs)
+    if prefetch:
+        init = (x, hot_kv, tuple(dev0[0]), tuple(dev0[1]))
+        (x, hot_kv, _, _), evicted = lax.scan(body, init, xs)
+    else:
+        (x, hot_kv), evicted = lax.scan(body, (x, hot_kv), xs)
     return x, hot_kv, evicted
 
 
@@ -252,7 +280,8 @@ class TieredState:
     is a list of pinned_host arrays threaded explicitly)."""
 
     def __init__(self, cfg, cold_k: List, cold_s: List, cold_valid, hot,
-                 cos, sin, C: int, PC: int):
+                 cos, sin, C: int, PC: int, dev0_k: Optional[List] = None,
+                 dev0_s: Optional[List] = None):
         self.cfg = cfg
         self.cold_k = cold_k  # list of (nl,B,KV,rows,PC) uint8 pinned_host
         self.cold_s = cold_s  # list of (nl,B,KV,4G,PC) bf16 pinned_host
@@ -262,6 +291,14 @@ class TieredState:
         self.sin = sin
         self.C = C
         self.PC = PC
+        # Prefetch mode: cold arrays are layer-rolled and these hold each
+        # chunk's layer-0 slices on device ((B,KV,rows,PC) each).
+        self.dev0_k = dev0_k
+        self.dev0_s = dev0_s
+
+    @property
+    def prefetch(self) -> bool:
+        return self.dev0_k is not None
 
     @property
     def window(self) -> int:
@@ -294,7 +331,9 @@ class TieredEngine:
     """
 
     def __init__(self, lm, chunk: int = 4096, hot: int = 512,
-                 k_block: int = 2048):
+                 k_block: int = 2048, prefetch: Optional[bool] = None):
+        import os
+
         cfg = lm.cfg
         if not cfg.use_quantized_cache:
             cfg = cfg.replace(use_quantized_cache=True)
@@ -303,9 +342,17 @@ class TieredEngine:
         self.pc = int(chunk)
         self.hot_window = int(hot)
         self.k_block = int(k_block)
+        # Prefetch: store the cold tier layer-rolled and fetch layer i+1
+        # while layer i computes (see _tiered_layers dev0).  Measured at
+        # the PCIe link ceiling vs ~24%+ slower serialized.
+        if prefetch is None:
+            prefetch = os.environ.get(
+                "PHI3V_TPU_TIERED_PREFETCH", "1") != "0"
+        self.prefetch = bool(prefetch)
         self._prefill_fns = {}
         self._decode_fns = {}
         self._dummy = None  # shared masked filler for pow2 slot padding
+        self._dummy0 = None  # its layer-0 device slice (prefetch mode)
 
     # -- compiled programs --------------------------------------------------
 
@@ -323,6 +370,18 @@ class TieredEngine:
             )
         return self._dummy
 
+    def _dummy_dev0(self):
+        if self._dummy0 is None:
+            cfg = self.cfg
+            kvh, d = cfg.num_key_value_heads, cfg.head_dim
+            g = max(1, d // cfg.kv_quant.group_size)
+            rows = d if cfg.kv_quant.bits == 4 else 2 * d
+            self._dummy0 = (
+                jnp.zeros((1, kvh, rows, self.pc), jnp.uint8),
+                jnp.ones((1, kvh, 4 * g, self.pc), jnp.bfloat16),
+            )
+        return self._dummy0
+
     def _prefill_fn(self, b: int, n_slots: int, w: int):
         key = (b, n_slots, w)
         if key in self._prefill_fns:
@@ -331,28 +390,42 @@ class TieredEngine:
         dev = _dev_sharding()
         host = _host_sharding()
 
-        def fn(params, ids, cold_k, cold_s, cold_valid, valid_self, cos, sin):
+        prefetch = self.prefetch
+
+        def fn(params, ids, cold_k, cold_s, cold_valid, valid_self, cos, sin,
+               dev0_k, dev0_s):
             mdl = params["model"]
             x = embedding(mdl["embed_tokens"], ids).astype(jnp.dtype(cfg.dtype))
             x, _, evicted = _tiered_layers(
                 cfg, mdl["layers"], x, None, cold_k, cold_s, cold_valid,
                 cos, sin, None, valid_self, k_block=kb, dev_sharding=dev,
+                dev0=(dev0_k, dev0_s) if prefetch else None,
             )
             x = rms_norm(x[:, -1:], mdl["norm"]["weight"], cfg.rms_norm_eps)
             logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
+            if prefetch:
+                # emit the cold copy layer-ROLLED (index j = layer j+1) plus
+                # the layer-0 slice kept on device to seed the next
+                # program's carry
+                return (logits[:, 0].astype(jnp.float32),
+                        jnp.roll(evicted.k, -1, axis=0),
+                        jnp.roll(evicted.k_scales, -1, axis=0),
+                        evicted.k[0], evicted.k_scales[0])
             return logits[:, 0].astype(jnp.float32), evicted.k, evicted.k_scales
 
         if jax.default_backend() == "tpu":
             # evicted KV streams straight to pinned host as a program output
-            jfn = jax.jit(fn, out_shardings=(dev, host, host))
+            shardings = ((dev, host, host, dev, dev) if prefetch
+                         else (dev, host, host))
+            jfn = jax.jit(fn, out_shardings=shardings)
         else:
             # CPU backend can't annotate output placement; eager-move after
             jfn_dev = jax.jit(fn)
 
             def jfn(*args):
-                logits, ev_k, ev_s = jfn_dev(*args)
-                return (logits, jax.device_put(ev_k, host),
-                        jax.device_put(ev_s, host))
+                out = jfn_dev(*args)
+                return (out[0], jax.device_put(out[1], host),
+                        jax.device_put(out[2], host)) + tuple(out[3:])
 
         self._prefill_fns[key] = jfn
         return self._prefill_fns[key]
@@ -364,8 +437,10 @@ class TieredEngine:
         cfg, kb = self.cfg, self.k_block
         dev = _dev_sharding()
 
+        prefetch = self.prefetch
+
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
-               cold_s, cold_valid, cos, sin):
+               cold_s, cold_valid, cos, sin, dev0_k, dev0_s):
             hot_kv = KVCache(*hot_kv_tree)
             mdl = params["model"]
             x = embedding(mdl["embed_tokens"], tok).astype(jnp.dtype(cfg.dtype))
@@ -379,6 +454,7 @@ class TieredEngine:
                 cfg, mdl["layers"], x, hot_kv, cold_k, cold_s, cold_valid,
                 cos_t, sin_t, hot_offset, hot_valid, k_block=kb,
                 dev_sharding=dev,
+                dev0=(dev0_k, dev0_s) if prefetch else None,
             )
             x = rms_norm(x[:, -1:], mdl["norm"]["weight"], cfg.rms_norm_eps)
             logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
@@ -403,6 +479,8 @@ class TieredEngine:
         host = _host_sharding()
         cold_k: List = []
         cold_s: List = []
+        dev0_k: List = []
+        dev0_s: List = []
         valid_dev = jnp.asarray(valid_p)
         logits = None
         for c in range(n_chunks):
@@ -411,22 +489,36 @@ class TieredEngine:
             dk, ds = (self._dummy_slot() if n_slots > c else (None, None))
             slots_k = tuple(cold_k[:c]) + tuple([dk] * (n_slots - c))
             slots_s = tuple(cold_s[:c]) + tuple([ds] * (n_slots - c))
+            if self.prefetch:
+                d0k, d0s = (self._dummy_dev0() if n_slots > c
+                            else (None, None))
+                slots0_k = tuple(dev0_k[:c]) + tuple([d0k] * (n_slots - c))
+                slots0_s = tuple(dev0_s[:c]) + tuple([d0s] * (n_slots - c))
+            else:
+                slots0_k = slots0_s = ()
             # validity over the n_slots*pc cold columns this program sees
             cv = np.zeros((b, max(n_slots, 1) * pc), bool)
             cv[:, : c * pc] = valid_p[:, : c * pc]
             cos_c = lax.dynamic_slice_in_dim(cos, c * pc, pc, axis=1)
             sin_c = lax.dynamic_slice_in_dim(sin, c * pc, pc, axis=1)
-            logits, ev_k, ev_s = fn(
+            out = fn(
                 lm.params, jnp.asarray(ids_p[:, c * pc : (c + 1) * pc]),
                 slots_k, slots_s, jnp.asarray(cv),
                 valid_dev[:, c * pc : (c + 1) * pc], cos_c, sin_c,
+                slots0_k, slots0_s,
             )
+            logits, ev_k, ev_s = out[:3]
             cold_k.append(ev_k)
             cold_s.append(ev_s)
+            if self.prefetch:
+                dev0_k.append(out[3])
+                dev0_s.append(out[4])
         hot = init_state(cfg, b, 0, self.hot_window,
                          compute_dtype=jnp.dtype(cfg.dtype))
         state = TieredState(cfg, cold_k, cold_s, valid_dev, hot, cos, sin,
-                            C=l_pad, PC=pc)
+                            C=l_pad, PC=pc,
+                            dev0_k=dev0_k if self.prefetch else None,
+                            dev0_s=dev0_s if self.prefetch else None)
         return np.asarray(jax.device_get(logits), np.float32), state
 
     def _decode_chunk_fn(self, b: int, n_chunks: int, C: int,
@@ -442,8 +534,10 @@ class TieredEngine:
         cfg, kb = self.cfg, self.k_block
         dev = _dev_sharding()
 
+        prefetch = self.prefetch
+
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
-               cold_s, cold_valid, cos, sin):
+               cold_s, cold_valid, cos, sin, dev0_k, dev0_s):
             mdl = params["model"]
 
             def step(carry, _):
@@ -462,6 +556,7 @@ class TieredEngine:
                     cfg, mdl["layers"], x, hot_kv, cold_k, cold_s,
                     cold_valid, cos_t, sin_t, off, hot_valid,
                     k_block=kb, dev_sharding=dev,
+                    dev0=(dev0_k, dev0_s) if prefetch else None,
                 )
                 x = rms_norm(x[:, -1:], mdl["norm"]["weight"],
                              cfg.rms_norm_eps)
@@ -488,6 +583,7 @@ class TieredEngine:
             self.lm.params, jnp.asarray(tok), tuple(state.hot.kv),
             state.hot.offset, state.hot.valid, tuple(state.cold_k),
             tuple(state.cold_s), state.cold_valid, state.cos, state.sin,
+            tuple(state.dev0_k or ()), tuple(state.dev0_s or ()),
         )
         state.hot = state.hot._replace(
             kv=KVCache(*hot_kv), offset=state.hot.offset + n_steps
@@ -523,8 +619,10 @@ class TieredEngine:
         dev = _dev_sharding()
         lq = k_draft + 1
 
+        prefetch = self.prefetch
+
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
-               cold_s, cold_valid, cos, sin, buf):
+               cold_s, cold_valid, cos, sin, buf, dev0_k, dev0_s):
             mdl = params["model"]
             valid_full = jnp.concatenate([cold_valid, hot_valid], axis=1)
 
@@ -548,6 +646,7 @@ class TieredEngine:
                     cfg, mdl["layers"], x, hot_kv, cold_k, cold_s,
                     cold_valid, cos_t, sin_t, off, hot_valid,
                     k_block=kb, dev_sharding=dev,
+                    dev0=(dev0_k, dev0_s) if prefetch else None,
                 )
                 x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
                 logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
@@ -633,6 +732,7 @@ class TieredEngine:
                 tuple(state.hot.kv), state.hot.offset, state.hot.valid,
                 tuple(state.cold_k), tuple(state.cold_s), state.cold_valid,
                 state.cos, state.sin, buf,
+                tuple(state.dev0_k or ()), tuple(state.dev0_s or ()),
             )
             state.hot = state.hot._replace(kv=KVCache(*hot_kv), offset=off)
             toks = np.asarray(jax.device_get(toks))      # (n_use, B, lq)
@@ -673,6 +773,13 @@ class TieredEngine:
             new_s.append(jax.device_put(ns, host))
         jax.block_until_ready((new_k, new_s))
         state.cold_k, state.cold_s = new_k, new_s
+        if state.prefetch:  # layer-0 device slices merge the same way
+            state.dev0_k = [
+                jnp.concatenate(state.dev0_k[i : i + group], axis=-1)
+                for i in range(0, n, group)]
+            state.dev0_s = [
+                jnp.concatenate(state.dev0_s[i : i + group], axis=-1)
+                for i in range(0, n, group)]
         state.PC = state.PC * group
         return state
 
@@ -684,6 +791,7 @@ class TieredEngine:
             self.lm.params, jnp.asarray(tok), tuple(state.hot.kv),
             state.hot.offset, state.hot.valid, tuple(state.cold_k),
             tuple(state.cold_s), state.cold_valid, state.cos, state.sin,
+            tuple(state.dev0_k or ()), tuple(state.dev0_s or ()),
         )
         state.hot = state.hot._replace(
             kv=KVCache(*hot_kv), offset=state.hot.offset + 1

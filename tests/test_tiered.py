@@ -118,6 +118,18 @@ def test_tiered_spec_decode_matches_per_step(lm, eng):
         assert toks == ref_toks[:10]
 
 
+def test_tiered_no_prefetch_matches(lm):
+    """prefetch=False (serial stream, unrolled cold storage) stays exact —
+    the default engine prefetches (layer-rolled cold storage + carried
+    device copies), and both layouts must emit the same greedy stream."""
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2, CFG.vocab_size, (1, 150)).astype(np.int32)
+    dict_input = {"input_ids": ids}
+    ref_toks, _ = _standard_reference(lm, dict_input, 5)
+    eng = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32, prefetch=False)
+    assert eng.generate(dict_input, max_tokens=6) == ref_toks[:6]
+
+
 def test_tiered_consolidate_matches(lm, eng):
     """Merging cold chunks (fewer, larger PCIe transfers) leaves logits and
     greedy tokens identical: the stats loop sees the same columns in the
