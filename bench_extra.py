@@ -354,7 +354,9 @@ def tiered64k():
     attention's floor), OOM is not."""
     tps, prefill_s, nc = _tiered_tps(65536, max_tokens=12)
     g = int(os.environ.get("PHI3V_TPU_TIERED_GROUP", "1"))
+    pf = os.environ.get("PHI3V_TPU_TIERED_PREFETCH", "1") != "0"
     return {"metric": "decode_tps_quantized_cache_64k_window_tiered",
+            "prefetch": pf,
             **({"consolidate_group": g} if g > 1 else {}),
             "value": round(tps, 3), "unit": "tok/s",
             "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
@@ -368,7 +370,9 @@ def tiered128k():
     per-token cost = streaming it over PCIe."""
     tps, prefill_s, nc = _tiered_tps(131072, max_tokens=8)
     g = int(os.environ.get("PHI3V_TPU_TIERED_GROUP", "1"))
+    pf = os.environ.get("PHI3V_TPU_TIERED_PREFETCH", "1") != "0"
     return {"metric": "decode_tps_quantized_cache_128k_window_tiered",
+            "prefetch": pf,
             **({"consolidate_group": g} if g > 1 else {}),
             "value": round(tps, 3), "unit": "tok/s",
             "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
