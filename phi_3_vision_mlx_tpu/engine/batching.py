@@ -882,9 +882,13 @@ class BatchEngine:
                     or self._stop_hit(req)
                 ):
                     req.done = True
-                    del self.by_slot[slot]
-                    self.free.append(slot)
-                    self._on_slot_freed(slot)
+                    # _project_completions may have freed (and admission
+                    # re-filled) the slot before this chunk was collected —
+                    # only do the slot bookkeeping if we still own it.
+                    if self.by_slot.get(slot) is req:
+                        del self.by_slot[slot]
+                        self.free.append(slot)
+                        self._on_slot_freed(slot)
                     break
         return out
 
@@ -939,9 +943,52 @@ class BatchEngine:
         h = self.dispatch(n_steps)  # may internally flush under pool pressure
         if h is not None:
             self._inflight.append(h)
+            self._project_completions()
         if len(self._inflight) > depth or (h is None and self._inflight):
             return self.collect(self._inflight.pop(0))
         return self.collect(None)  # still drains orphaned tokens
+
+    def _project_completions(self) -> None:
+        """Free slots whose requests are GUARANTEED to finish within the
+        chunks already in flight, without waiting for collect().
+
+        With depth-``d`` pipelining, completion is normally detected up to
+        ``d`` chunks late, so a finished request wastes up to ``d * chunk``
+        device steps before its slot re-admits.  Two finish conditions are
+        deterministic in the emission count and therefore predictable at
+        dispatch time: ``max_tokens`` and the window bound.  When the steps
+        already scheduled across in-flight PLAIN chunks cover the remaining
+        budget, the slot is returned to ``free`` immediately — admission
+        refills it at the next chunk boundary while the old request's
+        remaining tokens still arrive through collect() (which skips the
+        slot bookkeeping when the slot has moved on).
+
+        Spec chunks are excluded from the scheduled count: a tail slot can
+        emit ZERO tokens from a verify pass (window too tight for a
+        worst-case pass), so ``n_steps`` passes bound emissions only for
+        plain chunks.  EOS / stop strings / early_stop can only finish a
+        request EARLIER than the projected bound, which is fine — the slot
+        is free either way by the time the projection's chunks drain.
+        """
+        scheduled: Dict[int, int] = {}
+        for h in self._inflight:
+            if h.kind != "plain":
+                continue
+            for slot, rid in h.slot_rids.items():
+                if self.by_slot.get(slot) is self.requests[rid]:
+                    scheduled[slot] = scheduled.get(slot, 0) + h.n_steps
+        for slot, n in scheduled.items():
+            req = self.by_slot[slot]
+            # emissions until max_tokens trips (collect appends then checks)
+            j_max = req.max_tokens - len(req.tokens)
+            # emissions until hit_window trips:
+            #   l_pad + (len+j) - adopted_at + 1 >= window - 1
+            j_win = (self.window - 2) - req.l_pad - len(req.tokens) \
+                + req.adopted_at
+            if n >= min(j_max, j_win):
+                del self.by_slot[slot]
+                self.free.append(slot)
+                self._on_slot_freed(slot)
 
     def _spec_fn(self, n_passes: int, sampling: bool):
         """Compiled speculative chunk (subclasses swap the state/step impl)."""
@@ -1025,9 +1072,10 @@ class BatchEngine:
                     break
             if done:
                 req.done = True
-                del self.by_slot[slot]
-                self.free.append(slot)
-                self._on_slot_freed(slot)
+                if self.by_slot.get(slot) is req:  # see collect()
+                    del self.by_slot[slot]
+                    self.free.append(slot)
+                    self._on_slot_freed(slot)
             elif not any_emitted:
                 # A live slot always emits >= 1 token per pass, so a
                 # zero-token chunk means the window cannot absorb another
@@ -1050,6 +1098,15 @@ class BatchEngine:
         for slot, req in list(self.by_slot.items()):
             req.error = message
             req.done = True
+        # Requests proactively freed by _project_completions are no longer
+        # in by_slot but still owe tokens to in-flight chunks — fail them
+        # too, or their result() would wait forever.
+        for h in self._inflight:
+            for rid in h.slot_rids.values():
+                req = self.requests[rid]
+                if not req.done:
+                    req.error = message
+                    req.done = True
         self.by_slot.clear()
         self.free = list(range(self.slots))
         for slot in range(self.slots):

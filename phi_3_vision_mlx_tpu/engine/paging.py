@@ -668,7 +668,10 @@ class PagedBatchEngine(BatchEngine):
     # -- preemption ---------------------------------------------------------
 
     def pending(self) -> bool:
-        return bool(self.by_slot) or bool(self.preempted)
+        # _inflight matters: _project_completions can empty by_slot while
+        # undone requests still owe tokens to uncollected pipelined chunks.
+        return (bool(self.by_slot) or bool(self._inflight)
+                or bool(self.preempted))
 
     def _preempt(self, req) -> None:
         """Evict a running request: release its pages, queue it for a

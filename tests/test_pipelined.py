@@ -176,3 +176,74 @@ def test_mixed_step_and_pipelined(lmproc):
     while eng.pending():
         seen += eng.step(3).get(rid, [])
     assert seen == eng.requests[rid].tokens
+
+
+def test_proactive_completion_frees_slot_early(lmproc):
+    """_project_completions: a max_tokens-bound request's slot returns to
+    ``free`` as soon as the in-flight chunks cover its remaining budget —
+    BEFORE collect() sees the finish — and a new request admitted into the
+    freed slot decodes correctly while the old one's tokens still drain."""
+    lm, proc = lmproc
+    eng = BatchEngine(lm, proc, slots=1, window=128, pipeline_depth=2)
+    rid0 = eng.submit("First request, chunk-aligned.", max_tokens=8)
+    # 1 token emitted at admission; two 4-step chunks cover the remaining 7.
+    eng.step_pipelined(4)  # chunk 1 in flight
+    assert not eng.free  # 1 + 4 < 8: not projectable yet
+    eng.step_pipelined(4)  # chunk 2 in flight -> 1 + 8 >= 8: projected done
+    assert eng.free == [0]
+    assert not eng.requests[rid0].done  # tokens still in flight
+    # admit into the projected-free slot while old chunks are in flight
+    rid1 = eng.submit("Second request takes the slot.", max_tokens=6)
+    while eng.pending():
+        eng.step_pipelined(4)
+    eng.flush()
+    assert eng.requests[rid0].done and eng.requests[rid1].done
+    assert len(eng.tokens(rid0)) <= 8 and eng.tokens(rid1)
+    # streams match a fresh non-pipelined run of the same prompts
+    ref = BatchEngine(lm, proc, slots=1, window=128)
+    ra = ref.submit("First request, chunk-aligned.", max_tokens=8)
+    while ref.by_slot:
+        ref.step(4)
+    rb = ref.submit("Second request takes the slot.", max_tokens=6)
+    while ref.by_slot:
+        ref.step(4)
+    assert eng.tokens(rid0) == ref.tokens(ra)
+    assert eng.tokens(rid1) == ref.tokens(rb)
+    # no double-free: exactly one slot, free exactly once
+    assert eng.free == [0]
+
+
+def test_proactive_completion_paged_pages_recycle(lmproc):
+    """Paged engine: proactively freed pages are re-allocated to the next
+    request while the old request's chunks are still in flight; both
+    streams stay token-exact (write ordering on the device stream)."""
+    lm, proc = lmproc
+    factory = lambda: PagedBatchEngine(  # noqa: E731
+        lm, proc, slots=2, window=256, page_size=32, pool_pages=8,
+        pipeline_depth=2)
+    # chunk-aligned max_tokens => every finish is projected
+    submits = [("Alpha prompt for page recycling.", 9),
+               ("Beta prompt arrives later on.", 9),
+               ("Gamma prompt fills the freed slot.", 9)]
+    es, rs = _run_sync(
+        lambda: PagedBatchEngine(lm, proc, slots=2, window=256,
+                                 page_size=32, pool_pages=8),
+        submits, chunk=4)
+    ep, rp = _run_pipelined(factory, submits, chunk=4, stagger=1)
+    assert sorted(tuple(es.tokens(r)) for r in rs) == \
+        sorted(tuple(ep.tokens(r)) for r in rp)
+    # page accounting intact after recycling: all pages back in the pool
+    assert sorted(ep._free_pages) == list(range(8))
+
+
+def test_proactive_completion_fail_all_reaches_freed_requests(lmproc):
+    """fail_all_active must also fail requests whose slots were proactively
+    freed (they are not in by_slot but still owe in-flight tokens)."""
+    lm, proc = lmproc
+    eng = BatchEngine(lm, proc, slots=1, window=128, pipeline_depth=2)
+    rid = eng.submit("Failure propagation prompt.", max_tokens=8)
+    eng.step_pipelined(4)
+    eng.step_pipelined(4)
+    assert eng.free == [0] and not eng.requests[rid].done
+    eng.fail_all_active("simulated engine error")
+    assert eng.requests[rid].done and eng.requests[rid].error
