@@ -582,7 +582,7 @@ def paged_quantized_kv_attention(
 @functools.partial(jax.jit, static_argnames=("scale", "block_k"))
 def quantized_kv_attention(
     q, kv_payload, kv_scales, valid, offset, layer_idx, *, scale: float,
-    block_k: int = 2048,
+    block_k: int = 16384,
 ):
     """Decode attention reading layer ``layer_idx`` of the *stacked*
     quantized cache directly (transposed storage; see module docstring).
@@ -596,12 +596,12 @@ def quantized_kv_attention(
     b, h, lq, d = q.shape
     nl, _, kvh, _, lmax = kv_payload.shape
     g = h // kvh
-    # Prefer the largest block that fits VMEM: at blk == lmax the whole
-    # (2d, Lmax) per-head slice is ONE contiguous DMA (the payload's last two
-    # dims are row-major), which is what the HBM controller wants.
+    # Prefer block_k (default 16K: large contiguous DMAs are what the HBM
+    # controller wants — the payload's last two dims are row-major), falling
+    # back to the largest divisor of Lmax below it.
     blk = next(
         bb
-        for bb in (16384, 8192, 4096, block_k, 1024, 512, 256, 128, lmax)
+        for bb in (block_k, 8192, 4096, 2048, 1024, 512, 256, 128, lmax)
         if bb <= lmax and lmax % bb == 0
     )
     gq4 = kv_scales.shape[-2]
