@@ -89,6 +89,14 @@ def _kernel(
                 sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
                 return (qp.astype(jnp.float32) + sf).astype(jnp.bfloat16)
 
+        elif mode == "fbias":
+            # Factored bias: q.(p4*sf + bf_rep) == q.(p4*sf) + sum_g qs_g*bf_g
+            # — only ONE repeat+mul pass per plane on (d, blk); the bias
+            # terms are added on (rows, blk)/(rows, d) tiles below.
+            def dequant(qp, scs, bis):
+                sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
+                return (qp.astype(jnp.float32) * sf).astype(jnp.bfloat16)
+
         else:  # fp32 — production
 
             def dequant(qp, scs, bis):
@@ -103,6 +111,16 @@ def _kernel(
         s = jax.lax.dot_general(
             q, k_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if mode == "fbias":
+            qf = q.astype(jnp.float32)
+            rows = s.shape[0]
+            dio_q = jax.lax.broadcasted_iota(jnp.int32, (rows, d), 1) % groups
+            bfk = sc[groups : 2 * groups].astype(jnp.float32)
+            for gg in range(groups):
+                qs_g = jnp.sum(
+                    jnp.where(dio_q == gg, qf, 0.0), axis=1, keepdims=True
+                )
+                s = s + qs_g * bfk[gg : gg + 1, :]
         s *= scale
         rows = s.shape[0]
 
@@ -148,10 +166,24 @@ def _kernel(
         acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + upd
     else:
         v_t = dequant(v4, sc[2 * groups : 3 * groups], sc[3 * groups :])
-        acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
+        upd = jax.lax.dot_general(
             p.astype(v_t.dtype), v_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if mode == "fbias":
+            # p.(p4v*sfv + bfv_rep)^T == p.(p4v*sfv)^T + pb[r, d%G] where
+            # pb = p . bfv^T (rows, G) — bias applied on (rows, d).
+            bfv = sc[3 * groups :]
+            pb = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), bfv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rows, G)
+            dio = jax.lax.broadcasted_iota(
+                jnp.int32, upd.shape, 1
+            ) % groups
+            for gg in range(groups):
+                upd = upd + jnp.where(dio == gg, pb[:, gg : gg + 1], 0.0)
+        acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + upd
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _store():

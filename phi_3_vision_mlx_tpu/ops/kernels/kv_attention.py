@@ -79,20 +79,32 @@ def _kernel(
     payload = kv_ref[0, 0, 0].astype(jnp.int32)  # (d, blk): k lo, v hi nibble
     sc = sc_ref[0, 0, 0]  # (4G, blk) — one DMA for all scales/biases
 
-    def dequant(qp, scs, bis):
+    def dequant(qp, scs):
         # rows are group-interleaved (row r -> group r % G), so a sublane
         # tile-repeat of the (G, blk) scales is the per-row scale matrix.
+        # The BIAS plane is NOT applied here: each pltpu.repeat +
+        # elementwise pass over (d, blk) costs ~2.5 ms per 4 GB window and
+        # the kernel is VPU-bound on exactly these passes
+        # (experiments/qdecode_sweep.py: noscale 10.9 ms vs production
+        # 20.9 ms at a 32K window).  The bias factors out algebraically —
+        # q.(p4*sf + bf_rep) == q.(p4*sf) + sum_g qs_g*bf_g — and is added
+        # on (rows, blk)/(rows, d) tiles below (rows ~ 8, so ~free).
+        # Measured: 20.9 -> 16.9 ms/step, max drift 4.4e-5.
         sf = pltpu.repeat(scs, reps, 0).astype(jnp.float32)
-        bf = pltpu.repeat(bis, reps, 0).astype(jnp.float32)
-        return (qp.astype(jnp.float32) * sf + bf).astype(jnp.bfloat16)
+        return (qp.astype(jnp.float32) * sf).astype(jnp.bfloat16)
 
-    k_t = dequant(
-        payload & 15, sc[:groups], sc[groups : 2 * groups]
-    )  # (d, blk)
+    k_t = dequant(payload & 15, sc[:groups])  # (d, blk)
     q = q_ref[0]  # (rows, d)
     s = jax.lax.dot_general(
         q, k_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (rows, blk)
+    # factored k-bias: s += sum_g (sum_{d%G==g} q[r,d]) * bf_k[g, c]
+    qf = q.astype(jnp.float32)
+    dio_q = jax.lax.broadcasted_iota(jnp.int32, qf.shape, 1) % groups
+    bfk = sc[groups : 2 * groups].astype(jnp.float32)
+    for gg in range(groups):
+        qs_g = jnp.sum(jnp.where(dio_q == gg, qf, 0.0), axis=1, keepdims=True)
+        s = s + qs_g * bfk[gg : gg + 1, :]
     s *= scale
 
     q_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % lq
@@ -112,14 +124,22 @@ def _kernel(
     )
     m_ref[...] = m_next
     l_ref[...] = l_next
-    v_t = dequant(
-        payload >> 4, sc[2 * groups : 3 * groups], sc[3 * groups :]
-    )  # (d, blk)
+    v_t = dequant(payload >> 4, sc[2 * groups : 3 * groups])  # (d, blk)
     # o += p @ v: contract the blk dim of both (no transposes needed)
-    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + jax.lax.dot_general(
+    upd = jax.lax.dot_general(
         p.astype(v_t.dtype), v_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # factored v-bias: p.(p4v*sfv + bfv_rep)^T == p.(p4v*sfv)^T + pb[r, d%G]
+    # where pb = p . bfv^T (rows, G).
+    pb = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), sc[3 * groups :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, G)
+    dio_v = jax.lax.broadcasted_iota(jnp.int32, upd.shape, 1) % groups
+    for gg in range(groups):
+        upd = upd + jnp.where(dio_v == gg, pb[:, gg : gg + 1], 0.0)
+    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[1]] + upd
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _store():
