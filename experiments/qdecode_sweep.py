@@ -285,7 +285,14 @@ def main():
         return jax.lax.fori_loop(0, nl, body, jnp.zeros(q.shape, jnp.float32))
 
     results = {}
-    ref = None
+    # Error baseline: ALWAYS the fp32 production numerics, regardless of the
+    # QD_MODES ordering — a deliberately-wrong diagnostic mode (noscale/nomul)
+    # listed first must not become the reference (ADVICE r4).
+    ref = np.asarray(
+        step(q, kv_payload, kv_scales, valid, lmax - 1, block_k=16384,
+             mode="fp32"),
+        np.float32,
+    )
     import os as _os
     modes = tuple(
         _os.environ.get("QD_MODES", "fp32,mxu").split(",")
@@ -301,8 +308,6 @@ def main():
                 results[name] = {"error": str(e)[:200]}
                 print(name, "FAILED", str(e)[:200])
                 continue
-            if ref is None:
-                ref = np.asarray(out, np.float32)
             err = float(np.max(np.abs(np.asarray(out, np.float32) - ref)))
             t0 = time.perf_counter()
             iters = 20
@@ -311,7 +316,10 @@ def main():
                             block_k=blk, mode=mode)
             outs.block_until_ready()
             dt = (time.perf_counter() - t0) / iters
-            bytes_moved = nl * (d + 8 * g32) * lmax  # payload + bf16 scales
+            # payload + bf16 scales, per batch row and kv head (ADVICE r4:
+            # the b/kvh factors were previously omitted, understating HBM
+            # traffic ~32x)
+            bytes_moved = nl * b * kvh * (d + 8 * g32) * lmax
             gbps = bytes_moved / dt / 1e9
             results[name] = {"step_ms": dt * 1e3, "GBps": gbps, "max_err": err}
             print(f"{name}: {dt*1e3:.2f} ms/step  {gbps:.0f} GB/s  err={err}")

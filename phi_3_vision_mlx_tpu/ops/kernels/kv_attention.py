@@ -599,10 +599,10 @@ def paged_quantized_kv_attention(
     return out[:, :rows].reshape(s, kvh, g, lq, d).reshape(s, h, lq, d)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_k"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
 def quantized_kv_attention(
     q, kv_payload, kv_scales, valid, offset, layer_idx, *, scale: float,
-    block_k: int = 16384,
+    block_k: int = 16384, interpret: bool = False,
 ):
     """Decode attention reading layer ``layer_idx`` of the *stacked*
     quantized cache directly (transposed storage; see module docstring).
@@ -672,6 +672,7 @@ def quantized_kv_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         jnp.asarray(offset, jnp.int32).reshape(1),

@@ -172,6 +172,68 @@ def test_quantized_flash_matches_read_kv_window():
         )
 
 
+@pytest.mark.parametrize("lq", [1, 3])
+def test_quantized_kv_attention_matches_read_kv(lq):
+    """quantized_kv_attention (the production single-token/spec decode kernel,
+    factored-bias dequant) vs dequantize-the-window (read_kv) + masked XLA
+    attention — interpret mode, NONZERO bias planes (affine KV quant).
+
+    This is the ADVICE-r4 gap: the factored-bias rewrite previously had no
+    collected numerics coverage (only experiments/qkv_parity_check.py on a
+    real chip)."""
+    from phi_3_vision_mlx_tpu.core.config import KVQuantConfig
+    from phi_3_vision_mlx_tpu.engine.state import LayerKV, quantize_chunk, read_kv
+    from phi_3_vision_mlx_tpu.ops.attention import masked_attention
+    from phi_3_vision_mlx_tpu.ops.kernels.kv_attention import (
+        d_perm,
+        d_unperm,
+        quantized_kv_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    nl, b, h, kvh, d, w = 2, 2, 4, 2, 32, 256
+    off = 100  # decode step at offset 100; columns beyond are invalid
+    kvq = KVQuantConfig()
+
+    # Shift k/v off zero-mean so the bias planes carry real signal: a
+    # factored-bias bug cannot hide behind near-zero biases.
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k_raw = jnp.asarray(rng.standard_normal((nl, b, kvh, w, d)) + 0.7, jnp.float32)
+    v_raw = jnp.asarray(rng.standard_normal((nl, b, kvh, w, d)) - 0.4, jnp.float32)
+    entries = quantize_chunk(k_raw, v_raw, kvq, True)
+    payload, scales = entries.k, entries.k_scales
+    groups = scales.shape[-2] // 4
+    kbias = scales[:, :, :, groups : 2 * groups]
+    assert float(jnp.abs(kbias.astype(jnp.float32)).max()) > 0.1  # nonzero bias
+
+    valid = np.zeros((b, w), bool)
+    valid[:, 2 : off + lq] = True  # 2 left-pad columns invisible
+    valid = jnp.asarray(valid)
+    scale = d**-0.5
+
+    for layer in range(nl):
+        out_p = quantized_kv_attention(
+            q[..., d_perm(d, groups)], payload, scales, valid,
+            jnp.asarray(off, jnp.int32), jnp.asarray(layer, jnp.int32),
+            scale=scale, interpret=True,
+        )
+        out = out_p[..., d_unperm(d, groups)]
+
+        kc, vc = read_kv(
+            LayerKV(k=payload[layer], k_scales=scales[layer]), jnp.float32, 4
+        )
+        q_pos = off + jnp.arange(lq)
+        key_pos = jnp.arange(w)
+        allowed = (key_pos[None, :] <= q_pos[:, None])[None, None] & valid[
+            :, None, None, :
+        ]
+        ref = masked_attention(q, kc, vc, allowed, scale)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2, err_msg=f"layer {layer}",
+        )
+
+
 def test_quantized_flash_unaligned_lq():
     """lq not a multiple of the q block: trailing pad rows must not leak."""
     from phi_3_vision_mlx_tpu.core.config import KVQuantConfig
