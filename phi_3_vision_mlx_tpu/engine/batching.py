@@ -38,6 +38,10 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_rotary, su_rope_tables
 from .stream import stop_tail_window, validate_stops
 
+# Sentinel token value standing in for an async-admitted request's first
+# token until its device value is fetched (no real vocab id is negative).
+_FIRST_PENDING = -1
+
 
 class SlotState:
     """Device-side state of all slots (functional; replaced each step)."""
@@ -460,6 +464,15 @@ class _Request:
     # request (only the prefill token is pending), len(tokens) after a
     # preemption resume (the resumed prefill re-absorbed the earlier ones).
     adopted_at: int = 1
+    # Async admission: the prefill's argmax stays ON DEVICE (first_dev row
+    # first_row); tokens[0] holds the _FIRST_PENDING sentinel until the value
+    # rides home with a chunk fetch (collect) or a host path forces it
+    # (_materialize_first).  Keeps admission from draining the pipeline.
+    first_dev: object = None
+    first_row: int = 0
+    # True for an image request: its cache cannot be rebuilt by the paged
+    # engine's text-only recompute resume, so it is preemption-exempt.
+    has_images: bool = False
 
 
 @dataclass
@@ -476,6 +489,10 @@ class _ChunkHandle:
     slot_rids: Dict[int, int]
     n_steps: int
     growth: int = 0  # worst-case cache columns this chunk appends per slot
+    # (S,) int32 device copy of state.tokens at dispatch time — carries the
+    # first tokens of async-admitted slots home with the chunk fetch (None
+    # when no slot has a pending first).
+    seed: object = None
 
 
 @dataclass
@@ -489,7 +506,7 @@ class _Prepared:
     """
 
     src_state: object
-    first: int
+    first: int  # _FIRST_PENDING when async (value lives in first_dev)
     l_pad: int
     n_pads: int
     prompt_ids: List[int]
@@ -501,12 +518,24 @@ class _Prepared:
     stop: object = None
     early_stop: object = False
     rid: int = -1  # set on resume re-prefills to keep the original rid
+    # async admission: (B,) int32 device argmax of the prefill logits;
+    # row ``src_row`` is this request's first token
+    first_dev: object = None
+    has_images: bool = False
     # the ids actually prefilled (prompt + regenerated tokens on a resume);
     # seeds the slot's token-history buffer.  None -> prompt_ids.
     ids: object = None
     # which batch row of src_state is this request (prepare_many prefills
     # several queued admissions in one dispatch; prepare() is row 0 of 1)
     src_row: int = 0
+
+
+def _first_arg(p: "_Prepared"):
+    """The first-token argument for the jitted adopt fn: the device row when
+    the prepare was async, else the host int."""
+    if p.first_dev is not None:
+        return p.first_dev[p.src_row].astype(jnp.int32)
+    return jnp.asarray(p.first, jnp.int32)
 
 
 class BatchEngine:
@@ -522,9 +551,21 @@ class BatchEngine:
     """
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
-                 seed: int = 0, spec_k: int = 0, pipeline_depth: int = 1):
+                 seed: int = 0, spec_k: int = 0, pipeline_depth: int = 1,
+                 async_admission: bool = True):
         from .engine import LM  # noqa: F401  (type only)
 
+        import os
+
+        # Async admission (default): prepare() keeps the prefill argmax on
+        # device instead of blocking on device_get — a blocking fetch queues
+        # behind every in-flight pipelined chunk, so each admission would
+        # drain the pipe and idle the device for a full dispatch+fetch round
+        # trip (~0.1-0.8 s through the tunnel), roughly once per chunk under
+        # saturated load.  PHI3V_TPU_SYNC_ADMIT=1 restores the blocking path.
+        self.async_admission = async_admission and not int(
+            os.environ.get("PHI3V_TPU_SYNC_ADMIT", "0")
+        )
         self.lm = lm
         self.processor = processor
         self.slots = slots
@@ -572,16 +613,28 @@ class BatchEngine:
     def prepare(self, prompt: str, max_tokens: int = 512,
                 temperature: float = 0.0, top_p: float = 1.0,
                 top_k: int = 0, min_p: float = 0.0, stop=None,
-                early_stop=False) -> _Prepared:
+                early_stop=False, images=None) -> _Prepared:
         """Tokenize + prefill a request WITHOUT touching engine state.
 
         Long prompts chunk-prefill inside run_prefill; nothing here races
         decode, so a scheduler can run this outside its lock while the pump
         keeps stepping active slots.
+
+        ``images``: optional list of PIL images — the prompt must carry the
+        matching ``<|image_i|>`` tags (reference Phi3VProcessor semantics).
+        The vision prefill runs the fused device pipeline
+        (engine.run_prefill's raw-image path) and the resulting cache
+        columns adopt into a slot exactly like a text prefill: image tokens
+        are just cache columns by decode time.  Vision processing is
+        batch-1 (reference parity, phi_3_vision_mlx.py:377-378), so image
+        requests go through prepare(), never prepare_many().
         """
         from .engine import round_up, run_prefill
 
-        dict_input = self.processor(prompt)
+        dict_input = (
+            self.processor(prompt, images) if images is not None
+            else self.processor(prompt)
+        )
         ids = np.asarray(dict_input["input_ids"])
         l = int(ids.shape[1])
         l_guess = max(round_up(l, 64), 64)
@@ -596,13 +649,21 @@ class BatchEngine:
             self.lm, dict_input, max_tokens=self.window - l_guess
         )
         assert src_window == self.window, (src_window, self.window)
-        first = int(np.argmax(jax.device_get(logits), axis=-1)[0])
+        if self.async_admission:
+            first, first_dev = _FIRST_PENDING, jnp.argmax(
+                jnp.asarray(logits), axis=-1
+            ).astype(jnp.int32)
+        else:
+            first, first_dev = int(
+                np.argmax(jax.device_get(logits), axis=-1)[0]
+            ), None
         return _Prepared(
-            src_state=src_state, first=first, l_pad=l_pad, n_pads=l_pad - l,
+            src_state=src_state, first=first, first_dev=first_dev,
+            l_pad=l_pad, n_pads=l_pad - l,
             prompt_ids=[int(t) for t in ids[0]], max_tokens=max_tokens,
             temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p,
             stop=validate_stops(stop),
-            early_stop=early_stop,
+            early_stop=early_stop, has_images=images is not None,
         )
 
     def prepare_many(self, prompts: List[str], opts: List[dict]) -> List[_Prepared]:
@@ -642,12 +703,21 @@ class BatchEngine:
             self.lm, dict_input, max_tokens=self.window - l_guess
         )
         assert src_window == self.window, (src_window, self.window)
-        firsts = np.argmax(np.asarray(jax.device_get(logits)), axis=-1)
+        if self.async_admission:
+            firsts, firsts_dev = None, jnp.argmax(
+                jnp.asarray(logits), axis=-1
+            ).astype(jnp.int32)
+        else:
+            firsts, firsts_dev = np.argmax(
+                np.asarray(jax.device_get(logits)), axis=-1
+            ), None
         out = []
         for r, o in enumerate(opts):
             real = ids[r][mask[r].astype(bool)]
             out.append(_Prepared(
-                src_state=src_state, src_row=r, first=int(firsts[r]),
+                src_state=src_state, src_row=r,
+                first=_FIRST_PENDING if firsts is None else int(firsts[r]),
+                first_dev=firsts_dev,
                 l_pad=l_pad, n_pads=l_pad - len(real),
                 prompt_ids=[int(t) for t in real],
                 max_tokens=o.get("max_tokens", 512),
@@ -679,7 +749,7 @@ class BatchEngine:
         self.state = SlotState.from_tree(
             self._adopt_fns[key](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
-                jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
+                _first_arg(p), jnp.asarray(p.n_pads, jnp.int32),
                 jnp.asarray(prow), jnp.asarray(p.src_row, jnp.int32),
             )
         )
@@ -714,15 +784,22 @@ class BatchEngine:
                 rid=rid, slot=slot, tokens=[p.first], max_tokens=p.max_tokens,
                 l_pad=p.l_pad, temperature=p.temperature, top_p=p.top_p,
                 top_k=p.top_k, min_p=p.min_p, stop=p.stop,
-                prompt_ids=p.prompt_ids,
+                prompt_ids=p.prompt_ids, has_images=p.has_images,
             )
+            if p.first_dev is not None:
+                req.first_dev, req.first_row = p.first_dev, p.src_row
             if p.early_stop:
                 from .stream import LogitStopper
 
                 req.stopper = LogitStopper(p.max_tokens, p.early_stop)
             self.requests[rid] = req
-        if (p.first == self.lm.eos_id or len(req.tokens) >= req.max_tokens
-                or self._stop_hit(req)):
+        # Async-admitted requests defer the first-token EOS/stop checks to
+        # _materialize_first (their value is still on device); max_tokens is
+        # a host-known count and stays immediate.
+        done_now = len(req.tokens) >= req.max_tokens
+        if req.first_dev is None:
+            done_now = done_now or p.first == self.lm.eos_id or self._stop_hit(req)
+        if done_now:
             req.done = True
             self.free.append(slot)
             self._on_slot_freed(slot)
@@ -733,10 +810,11 @@ class BatchEngine:
     def submit(self, prompt: str, max_tokens: int = 512,
                temperature: float = 0.0, top_p: float = 1.0,
                top_k: int = 0, min_p: float = 0.0, stop=None,
-               early_stop=False) -> int:
+               early_stop=False, images=None) -> int:
         return self.admit(self.prepare(
             prompt, max_tokens, temperature=temperature, top_p=top_p,
             top_k=top_k, min_p=min_p, stop=stop, early_stop=early_stop,
+            images=images,
         ))
 
     def _stop_hit(self, req) -> bool:
@@ -749,8 +827,34 @@ class BatchEngine:
         if not req.stop:
             return False
         tail = req.tokens[-stop_tail_window(req.stop) :]
-        txt = self.processor.tokenizer.decode(tail)
+        # an async-admitted first token may still be the pending sentinel
+        txt = self.processor.tokenizer.decode([t for t in tail if t >= 0])
         return any(s in txt for s in req.stop)
+
+    def _materialize_first(self, req, value: Optional[int] = None) -> None:
+        """Resolve an async-admitted request's first token.
+
+        ``value`` comes free with a chunk fetch (the dispatch-time seed
+        snapshot); without one this blocks on a tiny device_get — only host
+        paths that need the text (tokens()/result(), resume) pay that.
+        Runs the EOS/stop first-token checks admit() deferred."""
+        if req.first_dev is None:
+            return
+        if value is None:
+            value = int(
+                np.asarray(jax.device_get(req.first_dev))[req.first_row]
+            )
+        req.tokens[0] = int(value)
+        req.first_dev = None
+        if req.done:
+            return
+        if req.tokens[0] == self.lm.eos_id or self._stop_hit(req):
+            req.done = True
+            slot = req.slot
+            if self.by_slot.get(slot) is req:
+                del self.by_slot[slot]
+                self.free.append(slot)
+                self._on_slot_freed(slot)
 
     # -- decode -------------------------------------------------------------
 
@@ -825,6 +929,7 @@ class BatchEngine:
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
+        seed = self._seed_snapshot()
         self._chunk_i += 1
         toks, maxlp, eoslp, tree = fn(
             self.lm.params, self.state.tree(), jnp.asarray(active),
@@ -838,8 +943,16 @@ class BatchEngine:
         return _ChunkHandle(
             "plain", (toks, maxlp, eoslp),
             {s: r.rid for s, r in self.by_slot.items()}, n_steps,
-            growth=n_steps,
+            growth=n_steps, seed=seed,
         )
+
+    def _seed_snapshot(self):
+        """Device copy of per-slot seed tokens, taken BEFORE the step fn
+        donates the state tree — carries async-admitted first tokens home
+        with the chunk fetch.  None when no slot has one pending."""
+        if not any(r.first_dev is not None for r in self.by_slot.values()):
+            return None
+        return jnp.copy(self.state.tokens)
 
     def collect(self, handle) -> Dict[int, List[int]]:
         """Fetch a dispatched chunk's results and trim them into requests.
@@ -857,9 +970,18 @@ class BatchEngine:
             return out
         if handle.kind == "spec":
             return self._collect_spec(handle, out)
-        toks, maxlp, eoslp = jax.device_get(handle.arrays)  # (n_steps, S)
+        # one transfer: chunk results + the dispatch-time seed snapshot
+        (toks, maxlp, eoslp), seed = jax.device_get(
+            (handle.arrays, handle.seed)
+        )  # toks: (n_steps, S)
         for slot, rid in handle.slot_rids.items():
             req = self.requests[rid]
+            if req.first_dev is not None and seed is not None \
+                    and req.slot == slot:
+                # FIFO collection: the first collected chunk covering this
+                # slot is the first chunk dispatched after adoption, whose
+                # seed snapshot holds exactly the adopted first token.
+                self._materialize_first(req, value=int(seed[slot]))
             if req.done or req.slot != slot:
                 continue  # finished/preempted while this chunk was in flight
             emitted = out.setdefault(rid, [])
@@ -1019,6 +1141,7 @@ class BatchEngine:
         active = np.zeros((self.slots,), bool)
         for slot in self.by_slot:
             active[slot] = True
+        seed = self._seed_snapshot()
         self._chunk_i += 1
         toks, maxlp, eoslp, n_emits, tree = fn(
             self.lm.params, self.state.tree(), jnp.asarray(active),
@@ -1032,16 +1155,19 @@ class BatchEngine:
         return _ChunkHandle(
             "spec", (toks, maxlp, eoslp, n_emits),
             {s: r.rid for s, r in self.by_slot.items()}, n_passes,
-            growth=n_passes * (self.spec_k + 1),
+            growth=n_passes * (self.spec_k + 1), seed=seed,
         )
 
     def _collect_spec(self, handle, out) -> Dict[int, List[int]]:
-        toks, maxlp, eoslp, n_emits = jax.device_get(
-            handle.arrays
+        (toks, maxlp, eoslp, n_emits), seed = jax.device_get(
+            (handle.arrays, handle.seed)
         )  # toks: (n_passes, S, K+1)
         n_passes = handle.n_steps
         for slot, rid in handle.slot_rids.items():
             req = self.requests[rid]
+            if req.first_dev is not None and seed is not None \
+                    and req.slot == slot:
+                self._materialize_first(req, value=int(seed[slot]))
             if req.done or req.slot != slot:
                 continue  # finished/preempted while this chunk was in flight
             emitted = out.setdefault(rid, [])
@@ -1117,11 +1243,22 @@ class BatchEngine:
 
     # -- results ------------------------------------------------------------
 
+    def first_token(self, rid: int) -> int:
+        """The request's first (prefill-argmax) token.
+
+        Under async admission this is the one host read that may block on a
+        tiny device fetch; streaming callers that want the first token before
+        any step() use this instead of peeking at ``requests[rid].tokens``."""
+        req = self.requests[rid]
+        self._materialize_first(req)
+        return req.tokens[0]
+
     def tokens(self, rid: int) -> List[int]:
         """Raw generated token ids (EOS-trimmed)."""
         req = self.requests[rid]
         if req.error:
             raise RuntimeError(f"request {rid} failed: {req.error}")
+        self._materialize_first(req)
         toks = req.tokens
         if self.lm.eos_id in toks:
             toks = toks[: toks.index(self.lm.eos_id)]

@@ -656,10 +656,12 @@ class PagedBatchEngine(BatchEngine):
         ids_row = np.zeros((l_pad,), np.int32)
         seed_ids = p.ids if p.ids is not None else p.prompt_ids
         ids_row[p.n_pads:] = np.maximum(np.asarray(seed_ids, np.int32), 0)
+        from .batching import _first_arg
+
         self.state = PagedState.from_tree(
             self._adopt_fns[key](
                 self.state.tree(), jnp.asarray(slot, jnp.int32), p.src_state,
-                jnp.asarray(p.first, jnp.int32), jnp.asarray(p.n_pads, jnp.int32),
+                _first_arg(p), jnp.asarray(p.n_pads, jnp.int32),
                 jnp.asarray(table_row), jnp.asarray(ids_row),
                 jnp.asarray(p.src_row, jnp.int32),
             )
@@ -734,6 +736,9 @@ class PagedBatchEngine(BatchEngine):
         from .engine import run_prefill
 
         req = self.requests[rid]
+        # a request preempted before its first chunk was ever collected may
+        # still carry the async-admission sentinel — resolve it (tiny fetch)
+        self._materialize_first(req)
         ids = req.prompt_ids + req.tokens[:-1]
         l, l_pad, _ = self._resume_shape(req)
         logits, src_state, l_pad2, _ = run_prefill(
@@ -873,8 +878,25 @@ class PagedBatchEngine(BatchEngine):
                     req, f"page pool too small ({self.pool_pages} pages) for "
                          f"a lone request's next chunk")
                 return False
-            victim = max(self.by_slot.values(), key=lambda r: r.rid)
-            self._preempt(victim)
+            # Vision requests are preemption-exempt: the recompute resume is
+            # text-only and cannot rebuild their image cache columns.  Prefer
+            # the youngest text victim; with only vision requests active,
+            # fail the youngest loudly instead of corrupting it.
+            text_reqs = [r for r in self.by_slot.values() if not r.has_images]
+            if text_reqs:
+                victim = max(text_reqs, key=lambda r: r.rid)
+                self._preempt(victim)
+            else:
+                victim = max(self.by_slot.values(), key=lambda r: r.rid)
+                slot = victim.slot
+                del self.by_slot[slot]
+                self.free.append(slot)
+                self._release_slot(slot)
+                self._fail_request(
+                    victim,
+                    "page pool exhausted with only vision requests active — "
+                    "vision caches cannot be recompute-resumed; raise "
+                    "pool_pages or reduce concurrent image requests")
         pending = self._pending_growth()
         # Pre-allocate, per active slot.
         for slot, req in self.by_slot.items():

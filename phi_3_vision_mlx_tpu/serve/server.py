@@ -131,9 +131,10 @@ class ContinuousScheduler:
 
     def complete(self, prompt: str, max_tokens: int,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 top_k: int = 0, min_p: float = 0.0, stop=None) -> str:
+                 top_k: int = 0, min_p: float = 0.0, stop=None,
+                 images=None) -> str:
         ticket = {
-            "prompt": prompt,
+            "prompt": prompt, "images": images,
             "opts": dict(max_tokens=max_tokens, temperature=temperature,
                          top_p=top_p, top_k=top_k, min_p=min_p, stop=stop),
             "rid": None, "error": None,
@@ -165,18 +166,34 @@ class ContinuousScheduler:
                     self._cv.wait()
                 n = min(len(self._tickets), self._admit_batch)
                 batch = [self._tickets.popleft() for _ in range(n)]
-            try:
-                prepared = self.engine.prepare_many(
-                    [t["prompt"] for t in batch],
-                    [t["opts"] for t in batch],
-                )
-            except Exception as e:
+            # Image requests prefill one at a time (the vision pipeline is
+            # batch-1, reference parity); text requests share one batched
+            # prefill dispatch.  Prefill errors stay per-ticket: a bad image
+            # must not fail the text requests sharing its admission batch.
+            text = [t for t in batch if not t.get("images")]
+            vision = [t for t in batch if t.get("images")]
+            prepared_pairs = []
+            failed = []
+            if text:
+                try:
+                    prepared_pairs += list(zip(text, self.engine.prepare_many(
+                        [t["prompt"] for t in text],
+                        [t["opts"] for t in text])))
+                except Exception as e:
+                    failed += [(t, f"{type(e).__name__}: {e}") for t in text]
+            for t in vision:
+                try:
+                    prepared_pairs.append((t, self.engine.prepare(
+                        t["prompt"], images=t["images"], **t["opts"]
+                    )))
+                except Exception as e:
+                    failed.append((t, f"{type(e).__name__}: {e}"))
+            if failed:
                 with self._cv:
-                    for t in batch:
-                        t["error"] = f"{type(e).__name__}: {e}"
+                    for t, msg in failed:
+                        t["error"] = msg
                     self._cv.notify_all()
-                continue
-            for t, p in zip(batch, prepared):
+            for t, p in prepared_pairs:
                 with self._cv:
                     while not self.engine.can_admit(p):
                         self._cv.wait()
@@ -256,13 +273,34 @@ def make_continuous_handler(scheduler: ContinuousScheduler):
                 except ValueError as e:
                     _send_json(self, 400, {"error": str(e)})
                     return
-                responses = [
-                    scheduler.complete(
-                        p, max_tokens, temperature=temperature, top_p=top_p,
-                        top_k=top_k, min_p=min_p, stop=stop,
+                images = body.get("images")
+                if images:
+                    # "images": list of URLs/paths for ONE prompt.  The
+                    # prompt is chat-templated with <|image_i|> tags exactly
+                    # like single-stream api.generate, so a vision request
+                    # served here is token-exact with generate()'s VQA.
+                    if len(prompts) != 1:
+                        _send_json(self, 400, {"error":
+                                   "images require a single prompt"})
+                        return
+                    from ..api import _apply_chat_template
+
+                    tmpl, loaded = _apply_chat_template(
+                        prompts[0], list(images), verbose=False
                     )
-                    for p in prompts
-                ]
+                    responses = [scheduler.complete(
+                        tmpl, max_tokens, temperature=temperature,
+                        top_p=top_p, top_k=top_k, min_p=min_p, stop=stop,
+                        images=loaded,
+                    )]
+                else:
+                    responses = [
+                        scheduler.complete(
+                            p, max_tokens, temperature=temperature,
+                            top_p=top_p, top_k=top_k, min_p=min_p, stop=stop,
+                        )
+                        for p in prompts
+                    ]
                 payload = json.dumps(
                     {"model": "phi-3-vision-tpu", "responses": responses}
                 ).encode()

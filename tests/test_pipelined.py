@@ -85,7 +85,7 @@ def test_pipelined_step_return_covers_all_tokens(lmproc):
     lm, proc = lmproc
     eng = BatchEngine(lm, proc, slots=2, window=128)
     rid = eng.submit("Stream accounting prompt.", max_tokens=9)
-    got = [eng.requests[rid].tokens[0]]
+    got = [eng.first_token(rid)]
     while eng.pending():
         got.extend(eng.step_pipelined(3).get(rid, []))
     assert got == eng.requests[rid].tokens
@@ -168,7 +168,7 @@ def test_mixed_step_and_pipelined(lmproc):
     lm, proc = lmproc
     eng = BatchEngine(lm, proc, slots=2, window=128)
     rid = eng.submit("Mixed stepping modes prompt.", max_tokens=10)
-    seen = [eng.requests[rid].tokens[0]]
+    seen = [eng.first_token(rid)]
     out = eng.step_pipelined(3)
     seen += out.get(rid, [])
     out = eng.step(3)  # must flush the in-flight chunk internally
