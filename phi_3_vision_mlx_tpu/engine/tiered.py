@@ -591,7 +591,7 @@ class TieredEngine:
         return np.asarray(jax.device_get(toks)), state
 
     def _spec_chunk_fn(self, b: int, n_chunks: int, C: int, n_iters: int,
-                       k_draft: int):
+                       k_draft: int, sampler=None):
         """Speculative multi-iteration decode in ONE dispatch.
 
         The tiered cost model is dominated by the cold-tier PCIe stream:
@@ -599,9 +599,13 @@ class TieredEngine:
         greedy step pays ~window-bytes per TOKEN.  Verifying K prompt-lookup
         drafts in one lq = K+1 pass (engine/speculative.py) re-reads the
         cold tier ONCE for up to K+1 emitted tokens — the stream cost per
-        token drops by the acceptance-weighted chunk length.  Greedy-exact:
-        argmax-match acceptance keeps the emitted stream bit-identical to
-        per-step tiered decode (tests/test_tiered.py).
+        token drops by the acceptance-weighted chunk length.  Greedy-exact
+        when ``sampler`` is None: argmax-match acceptance keeps the emitted
+        stream bit-identical to per-step tiered decode (tests/test_tiered.py).
+        ``sampler`` = (temperature, top_p, top_k, min_p): rejection-sampled
+        verification (engine/speculative.py:verify_sampled) — each emitted
+        token is distributed exactly as vanilla sampling from the filtered
+        target, so the 128K tiered path gets sampled decode at spec speed.
 
         Every scan iteration steps unconditionally — no ``lax.cond`` around
         the layer pass.  On the real TPU a conditional body breaks XLA's
@@ -610,10 +614,10 @@ class TieredEngine:
         async-start rejects); the caller bounds iteration count host-side
         instead and trims overshoot (spec_decode).
         """
-        key = ("spec", b, n_chunks, C, n_iters, k_draft)
+        key = ("spec", b, n_chunks, C, n_iters, k_draft, sampler)
         if key in self._decode_fns:
             return self._decode_fns[key]
-        from .speculative import propose_drafts
+        from .speculative import propose_drafts, verify_sampled
 
         cfg, kb = self.cfg, self.k_block
         dev = _dev_sharding()
@@ -622,12 +626,13 @@ class TieredEngine:
         prefetch = self.prefetch
 
         def fn(params, tok, hot_kv_tree, hot_offset, hot_valid, cold_k,
-               cold_s, cold_valid, cos, sin, buf, dev0_k, dev0_s):
+               cold_s, cold_valid, cos, sin, buf, dev0_k, dev0_s, rng):
             mdl = params["model"]
             valid_full = jnp.concatenate([cold_valid, hot_valid], axis=1)
 
             def step(carry, _):
-                tok, hot_kv, off, hist = carry
+                tok, hot_kv, off, hist, rng = carry
+                rng, rng_step = jax.random.split(rng)
                 off_abs = C + off
                 draft = propose_drafts(hist, valid_full, tok, off_abs,
                                        k_draft)
@@ -650,16 +655,22 @@ class TieredEngine:
                 )
                 x = rms_norm(x, mdl["norm"]["weight"], cfg.rms_norm_eps)
                 logits = dense(params["lm_head"], x)[..., : cfg.vocab_size]
-                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,lq)
-                match = (draft == out[:, :-1]).astype(jnp.int32)
-                acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,)
+                if sampler is None:
+                    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (draft == out[:, :-1]).astype(jnp.int32)
+                    acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,)
+                else:
+                    out, n_emit_v = verify_sampled(
+                        logits.astype(jnp.float32), draft, rng_step, *sampler
+                    )
+                    acc = n_emit_v - 1
                 n_emit = acc[0] + 1
                 nxt = jnp.take_along_axis(out, acc[:, None], axis=1)
-                return (nxt, hot_kv, off + n_emit, hist), (out, n_emit)
+                return (nxt, hot_kv, off + n_emit, hist, rng), (out, n_emit)
 
-            (tok_f, hot_kv, off_f, buf_f), (toks, n_emits) = lax.scan(
+            (tok_f, hot_kv, off_f, buf_f, _), (toks, n_emits) = lax.scan(
                 step,
-                (tok, KVCache(*hot_kv_tree), hot_offset, buf),
+                (tok, KVCache(*hot_kv_tree), hot_offset, buf, rng),
                 None, length=n_iters,
             )
             return toks, n_emits, off_f, tuple(hot_kv), buf_f
@@ -669,11 +680,17 @@ class TieredEngine:
 
     def spec_generate(self, dict_input: dict, max_tokens: int,
                       eos_id: Optional[int] = None, k_draft: int = 7,
-                      n_iters: int = 8) -> List[int]:
-        """Greedy tiered generation with prompt-lookup speculation (B=1).
+                      n_iters: int = 8, temperature: float = 0.0,
+                      top_p: float = 1.0, top_k: int = 0,
+                      min_p: float = 0.0, seed: int = 0) -> List[int]:
+        """Tiered generation with prompt-lookup speculation (B=1).
 
-        Bit-identical to :meth:`generate` (greedy argmax-match acceptance);
-        up to ``k_draft + 1`` tokens share one cold-tier PCIe stream.
+        Greedy by default — bit-identical to :meth:`generate` (argmax-match
+        acceptance); up to ``k_draft + 1`` tokens share one cold-tier PCIe
+        stream.  ``temperature > 0`` switches to rejection-sampled
+        verification (engine/speculative.py:verify_sampled): each emitted
+        token is distributed exactly as vanilla sampling from the filtered
+        target, so the 128K path composes sampling with spec speed.
         ``n_iters`` verify iterations run per device dispatch (the scan
         self-limits once the token budget or hot window is exhausted).
         """
@@ -686,17 +703,32 @@ class TieredEngine:
                 f"construction"
             )
         logits, state = self.prefill(dict_input)
-        tok = int(np.argmax(logits[0]))
+        if temperature > 0:
+            from .engine import filter_sample_logits
+
+            f = filter_sample_logits(
+                jnp.asarray(logits, jnp.float32), temperature, top_p,
+                top_k, min_p,
+            )
+            tok = int(jax.random.categorical(
+                jax.random.fold_in(jax.random.PRNGKey(seed), 0), f, axis=-1
+            )[0])
+        else:
+            tok = int(np.argmax(logits[0]))
         ids_p, _, _, l_pad = _pad_to_chunks(dict_input, self.pc)
         buf = init_token_buffer(ids_p, state.window)
-        out, _ = self.spec_decode(state, tok, buf, max_tokens,
-                                  eos_id=eos_id, k_draft=k_draft,
-                                  n_iters=n_iters)
+        out, _ = self.spec_decode(
+            state, tok, buf, max_tokens, eos_id=eos_id, k_draft=k_draft,
+            n_iters=n_iters, temperature=temperature, top_p=top_p,
+            top_k=top_k, min_p=min_p, seed=seed,
+        )
         return out
 
     def spec_decode(self, state: TieredState, tok: int, buf, max_tokens: int,
                     eos_id: Optional[int] = None, k_draft: int = 7,
-                    n_iters: int = 8):
+                    n_iters: int = 8, temperature: float = 0.0,
+                    top_p: float = 1.0, top_k: int = 0, min_p: float = 0.0,
+                    seed: int = 0):
         """The decode half of :meth:`spec_generate` (bench-friendly split:
         prefill once, time this).  ``tok`` is the first emitted token (from
         the prefill logits), ``buf`` the window-aligned token history
@@ -714,9 +746,15 @@ class TieredEngine:
         partial dispatch's remainder."""
         from .speculative import init_token_buffer  # noqa: F401 (doc ref)
 
+        sampler = (
+            (float(temperature), float(top_p), int(top_k), float(min_p))
+            if temperature > 0 else None
+        )
+        rng = jax.random.PRNGKey(seed)
         out = [tok]
         b, nc = state.cold_valid.shape[0], len(state.cold_k)
         lq = k_draft + 1
+        dispatch_i = 0
         while len(out) < max_tokens and (eos_id is None or tok != eos_id):
             off_now = int(jax.device_get(state.hot.offset))
             room = (self.hot_window - off_now) // lq  # iters that fit hot
@@ -726,13 +764,16 @@ class TieredEngine:
             # keeping n_use off the budget means at most TWO program sizes
             # ever compile (n_iters + a room-capped final dispatch)
             n_use = min(n_iters, room)
-            fn = self._spec_chunk_fn(b, nc, state.C, n_use, k_draft)
+            fn = self._spec_chunk_fn(b, nc, state.C, n_use, k_draft,
+                                     sampler=sampler)
+            dispatch_i += 1
             toks, n_emits, off, hot_kv, buf = fn(
                 self.lm.params, jnp.asarray([[tok]], jnp.int32),
                 tuple(state.hot.kv), state.hot.offset, state.hot.valid,
                 tuple(state.cold_k), tuple(state.cold_s), state.cold_valid,
                 state.cos, state.sin, buf,
                 tuple(state.dev0_k or ()), tuple(state.dev0_s or ()),
+                jax.random.fold_in(rng, dispatch_i),
             )
             state.hot = state.hot._replace(kv=KVCache(*hot_kv), offset=off)
             toks = np.asarray(jax.device_get(toks))      # (n_use, B, lq)
