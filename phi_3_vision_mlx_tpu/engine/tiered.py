@@ -33,6 +33,7 @@ slot count (dummy slots are masked), bounding remote compiles at
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -98,6 +99,26 @@ def _fold_q(q, kv_heads: int):
     return q.reshape(b, kv_heads, h // kv_heads, lq, d)
 
 
+def _bf16_dots() -> bool:
+    """bf16-input / fp32-accumulate attention dots in the tiered path.
+
+    The fp32-input einsums were the measured compute wall under the PCIe
+    stream: every layer materialized fp32 copies of the dequantized cold
+    K/V (4x the payload bytes at 64K) and ran the MXU at its 8x-slower fp32
+    rate — enough to serialize behind the host->device copy that layer
+    prefetch is supposed to hide.  bf16 inputs with fp32 accumulation are
+    the same numerics class as the Pallas decode/flash kernels the in-HBM
+    path already trusts.  Default: on for accelerators, off for CPU (the
+    CPU parity tests diff tiered vs in-HBM XLA at 3e-3, which fp32 meets
+    and bf16 intentionally trades away); PHI3V_TPU_TIERED_BF16=0/1
+    overrides.
+    """
+    env = os.environ.get("PHI3V_TPU_TIERED_BF16")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
 def _update_stats(st: AttnStats, s, v):
     """One key-block update.  s: (B,KV,G,Lq,Lk) f32 scores (already masked
     with NEG_INF); v: (B,KV,Lk,D)."""
@@ -108,9 +129,14 @@ def _update_stats(st: AttnStats, s, v):
     alpha = jnp.where(st.m > NEG_INF / 2, jnp.exp(st.m - m_new), 0.0)
     p = jnp.exp(s - m_new[..., None])
     l_new = alpha * st.l + p.sum(axis=-1)
-    acc = st.acc * alpha[..., None] + jnp.einsum(
-        "bkgql,bkld->bkgqd", p, v.astype(jnp.float32)
-    )
+    if _bf16_dots():
+        upd = jnp.einsum(
+            "bkgql,bkld->bkgqd", p.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+        )
+    else:
+        upd = jnp.einsum("bkgql,bkld->bkgqd", p, v.astype(jnp.float32))
+    acc = st.acc * alpha[..., None] + upd
     return AttnStats(m=m_new, l=l_new, acc=acc)
 
 
@@ -137,10 +163,17 @@ def _stats_over(q, k, v, key_ok, scale, k_block: int, carry: AttnStats,
         if q_pos is not None:
             kp = key_pos0 + i * k_block + jnp.arange(k_block)
             allowed = allowed & (kp[None, :] <= q_pos[:, None])[None, None, None]
-        s = jnp.einsum(
-            "bkgqd,bkld->bkgql", (q * scale).astype(jnp.float32),
-            ks.astype(jnp.float32),
-        )
+        if _bf16_dots():
+            s = jnp.einsum(
+                "bkgqd,bkld->bkgql", q.astype(jnp.bfloat16),
+                ks.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        else:
+            s = jnp.einsum(
+                "bkgqd,bkld->bkgql", (q * scale).astype(jnp.float32),
+                ks.astype(jnp.float32),
+            )
         s = jnp.where(allowed, s, NEG_INF)
         return _update_stats(st, s, vs), None
 

@@ -209,3 +209,34 @@ def test_tiered_spec_sampling_composes(lm, eng):
     assert len(warm1) == 10
     assert all(0 <= t < CFG.vocab_size for t in warm1)
     assert warm1 != warm3  # different seed explores
+
+
+def test_tiered_bf16_dots_mode(lm, monkeypatch):
+    """PHI3V_TPU_TIERED_BF16=1 (the accelerator default) switches the
+    attention dots to bf16-input/fp32-accumulate — same numerics class as
+    the Pallas kernels.  Logits must stay close to the fp32-dot mode (loose
+    tolerance: that IS the traded precision) and the mode must actually
+    engage (greedy streams still agree at this scale)."""
+    rng = np.random.default_rng(21)
+    ids = rng.integers(2, CFG.vocab_size, (1, 100)).astype(np.int32)
+    dict_input = {"input_ids": ids}
+
+    def run():
+        eng2 = TieredEngine(lm, chunk=PC, hot=HOT, k_block=32)
+        logits, state = eng2.prefill(dict_input)
+        l0 = np.asarray(logits, np.float32)
+        tok = int(np.argmax(l0[0]))
+        lg, _ = eng2.decode_step(state, np.array([[tok]], np.int32))
+        return l0, np.asarray(jax.device_get(lg), np.float32)
+
+    monkeypatch.setenv("PHI3V_TPU_TIERED_BF16", "0")
+    p0, d0 = run()
+    monkeypatch.setenv("PHI3V_TPU_TIERED_BF16", "1")
+    p1, d1 = run()
+    assert not np.array_equal(p0, p1)  # the knob engages
+    # bf16 mantissa is 8 bits: on O(1)-scale logits the honest bound is an
+    # absolute one (rtol explodes on near-zero entries and means nothing).
+    np.testing.assert_allclose(p1, p0, rtol=0, atol=0.15)
+    np.testing.assert_allclose(d1, d0, rtol=0, atol=0.15)
+    assert np.argmax(p1[0]) == np.argmax(p0[0])
+    assert np.argmax(d1[0]) == np.argmax(d0[0])
