@@ -13,6 +13,7 @@ Workloads (BASELINE.md configs + ROADMAP long-context targets):
   chat      - interactive profile: first-token latency, adaptive chunk ramp
   serve     - continuous-batching aggregate throughput (staggered requests)
   spec      - prompt-lookup speculative decode (overhead + cycling bound)
+  spec_mid  - mid-envelope acceptance on a from-scratch-trained induction LM
   quant64k  - (full-chip HBM only; not in the default run)
 
 Run all: ``python bench_extra.py``; subset: ``python bench_extra.py quant8k``.
@@ -557,6 +558,76 @@ def spec():
     }
 
 
+def spec_mid():
+    """Mid-envelope speculation: acceptance measured on a TRAINED model.
+
+    The spec() envelope brackets acceptance with a rigged ceiling (echo
+    head, 8 tok/pass) and a zero-acceptance overhead row, because random
+    full-size weights cannot echo their context.  This row closes the gap:
+    train the tiny induction LM from scratch (train/pretrain.py — repeated
+    random phrases, so copying earlier context is the optimal policy),
+    then measure prompt-lookup tokens/pass on HELD-OUT docs.  Drafts accept
+    through phrase bodies and reject at phrase boundaries — a genuine
+    mid-envelope acceptance, not a fixture.
+
+    Full-size tok/s projection: a spec pass verifies K+1 positions whatever
+    the acceptance, so pass rate is acceptance-independent; both envelope
+    ends of spec() measure it independently and agree to ~1% (ceiling
+    1202/8 = 150.3 passes/s vs overhead ~149).  projected_tps =
+    tokens_per_pass x measured pass rate.  CPU twin:
+    tests/test_pretrain_induction.py::test_induction_lm_mid_envelope.
+    """
+    from phi_3_vision_mlx_tpu.api import _load
+    from phi_3_vision_mlx_tpu.train.pretrain import (
+        induction_docs, measure_tokens_per_pass, train_induction_lm)
+
+    scan = 16 if jax.default_backend() == "tpu" else 1
+    t0 = time.time()
+    _, losses = train_induction_lm(
+        "/tmp/phi3v_induction_lm", steps=240, bs=8, seq_len=128, seed=0,
+        scan_steps=scan,
+    )
+    train_s = time.time() - t0
+    lm, proc = _load("/tmp/phi3v_induction_lm")
+    rng = np.random.default_rng(99)  # held out: training drew from seed 1
+    tpps = []
+    for _ in range(5):
+        doc = induction_docs(rng, 1, n_phrases=4, phrase_len=8,
+                             phrases_per_doc=24)[0]
+        tpp, _ = measure_tokens_per_pass((lm, proc), doc, max_tokens=96,
+                                         spec_k=7)
+        tpps.append(round(tpp, 2))
+    mean_tpp = float(np.mean(tpps))
+
+    # pass-rate projection from the measured full-size envelope rows
+    row = {}
+    if os.path.exists("BENCH_EXTRA.json"):
+        for m in json.load(open("BENCH_EXTRA.json"))["measurements"]:
+            if m["metric"] == "spec_decode_tps_ceiling" and \
+                    m.get("quant_mode", "affine") == os.environ["BENCH_QUANT_MODE"]:
+                row = m
+    rates = []
+    if row.get("tokens_per_pass"):
+        rates.append(row["value"] / row["tokens_per_pass"])
+    if row.get("overhead_tokens_per_pass"):
+        rates.append(row["overhead_workload_tps"] / row["overhead_tokens_per_pass"])
+    rate = float(np.mean(rates)) if rates else None
+
+    return {
+        "metric": "spec_mid_envelope_tokens_per_pass",
+        "value": round(mean_tpp, 2),
+        "unit": "tokens/pass (K=7, ceiling 8.0, floor 1.0)",
+        "per_doc": tpps,
+        "train_s": round(train_s, 1),
+        "final_loss": round(losses[-1], 3),
+        "projected_full_size_tps": round(mean_tpp * rate, 1) if rate else None,
+        "pass_rate_per_s": round(rate, 1) if rate else None,
+        "note": "trained induction LM, held-out docs; projection = "
+                "tokens/pass x acceptance-independent pass rate (both "
+                "spec() envelope ends measure the same rate, ~150/s)",
+    }
+
+
 def serve():
     """Continuous-batching serving throughput: 8 staggered requests over 4
     slots (requests join the running batch mid-decode)."""
@@ -863,7 +934,8 @@ ALL = {
     "prefill32k": prefill32k, "vqa": vqa, "vqa_decode": vqa_decode,
     "vqa_decode_qcache": vqa_decode_qcache,
     "lora_decode": lora_decode, "chat": chat, "serve": serve,
-    "serve_steady": serve_steady, "spec": spec, "serve_spec": serve_spec,
+    "serve_steady": serve_steady, "spec": spec, "spec_mid": spec_mid,
+    "serve_spec": serve_spec,
 }
 # quant64k needs a full chip's HBM; the tiered rows run on the fraction but
 # take ~10-30 min each (long prefill + per-token PCIe streaming), so they
