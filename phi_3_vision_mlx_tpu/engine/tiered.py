@@ -194,6 +194,55 @@ def _dequant_cold(payload, scales, bits: int, dtype):
     return read_kv(LayerKV(k=payload, k_scales=scales), dtype, bits)
 
 
+def _stats_over_packed(q, payload, scales, key_ok, scale, k_block: int,
+                       carry: AttnStats, bits: int, dtype,
+                       q_pos=None, key_pos0=None):
+    """Like :func:`_stats_over`, but dequantizes the packed cold layout
+    PER KEY BLOCK inside the scan body instead of materializing the whole
+    chunk's (B, KV, PC, D) bf16 k/v up front.
+
+    Numerics are bit-identical (dequant is per-column, so it commutes with
+    the block slicing); what changes is liveness: the full-chunk dequant
+    kept ~2x(B*KV*PC*D) bf16 live across the whole stats scan (~200 MB per
+    8192-token chunk), which the r4 roofline named as the memory pressure
+    throttling the layer-prefetch PCIe overlap.  Blockwise, peak extra
+    memory is ~2x(B*KV*k_block*D) (~25 MB at k_block=2048) and the
+    dequantized block dies inside its scan iteration.
+    """
+    b, kvh, g, lq, d = q.shape
+    lk = payload.shape[-1]
+    k_block = min(k_block, lk)
+    while lk % k_block:
+        k_block //= 2
+    nblk = lk // k_block
+
+    def body(st, i):
+        pblk = lax.dynamic_slice_in_dim(payload, i * k_block, k_block, 3)
+        sblk = lax.dynamic_slice_in_dim(scales, i * k_block, k_block, 3)
+        ks, vs = read_kv(LayerKV(k=pblk, k_scales=sblk), dtype, bits)
+        ok = lax.dynamic_slice_in_dim(key_ok, i * k_block, k_block, 1)
+        allowed = ok[:, None, None, None, :]  # (B,1,1,1,Lk)
+        if q_pos is not None:
+            kp = key_pos0 + i * k_block + jnp.arange(k_block)
+            allowed = allowed & (kp[None, :] <= q_pos[:, None])[None, None, None]
+        if _bf16_dots():
+            s = jnp.einsum(
+                "bkgqd,bkld->bkgql", q.astype(jnp.bfloat16),
+                ks.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        else:
+            s = jnp.einsum(
+                "bkgqd,bkld->bkgql", (q * scale).astype(jnp.float32),
+                ks.astype(jnp.float32),
+            )
+        s = jnp.where(allowed, s, NEG_INF)
+        return _update_stats(st, s, vs), None
+
+    st, _ = lax.scan(body, carry, jnp.arange(nblk))
+    return st
+
+
 # ---------------------------------------------------------------------------
 # The tiered layer pass (shared by prefill chunks and decode steps)
 # ---------------------------------------------------------------------------
@@ -247,7 +296,10 @@ def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
 
         st = _zero_stats(b, kvh, g, lq, cfg.head_dim)
         # cold tier: this layer's columns (prefetched device copies in
-        # prefetch mode; streamed host->device here otherwise)
+        # prefetch mode; streamed host->device here otherwise); dequant is
+        # blockwise inside the stats scan (memory-pressure relief for the
+        # prefetch overlap — see _stats_over_packed)
+        col0 = 0
         for ci in range(len(ck)):
             if prefetch:
                 ck_d, cs_d = cur_k[ci], cur_s[ci]
@@ -255,9 +307,10 @@ def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
                 ck_d = jax.device_put(ck[ci], dev_sharding)
                 cs_d = jax.device_put(cs[ci], dev_sharding)
             pc = ck_d.shape[-1]
-            kc, vc = _dequant_cold(ck_d, cs_d, cfg.kv_quant.bits, y.dtype)
-            ok = lax.dynamic_slice_in_dim(cold_valid, ci * pc, pc, 1)
-            st = _stats_over(qg, kc, vc, ok, scale, k_block, st)
+            ok = lax.dynamic_slice_in_dim(cold_valid, col0, pc, 1)
+            st = _stats_over_packed(qg, ck_d, cs_d, ok, scale, k_block, st,
+                                    cfg.kv_quant.bits, y.dtype)
+            col0 += pc
 
         if hkv is not None:
             # decode: write the fresh chunk into the hot window, attend over it
@@ -273,11 +326,10 @@ def _tiered_layers(cfg: ModelConfig, layer_params, x, hot_kv: Optional[KVCache],
             # prefill chunk: causal self-attention (quantize-then-read so the
             # numerics match what later chunks/decodes will see)
             entries = quantize_chunk(k, v, cfg.kv_quant, True)
-            kq, vq = _dequant_cold(entries.k, entries.k_scales,
-                                   cfg.kv_quant.bits, y.dtype)
             ok_self = hot_valid  # (B, lq): this chunk's own validity
-            st = _stats_over(qg, kq, vq, ok_self, scale, k_block, st,
-                             q_pos=jnp.arange(lq), key_pos0=0)
+            st = _stats_over_packed(qg, entries.k, entries.k_scales, ok_self,
+                                    scale, k_block, st, cfg.kv_quant.bits,
+                                    y.dtype, q_pos=jnp.arange(lq), key_pos0=0)
             evicted = entries
 
         o = _finalize(st, y.dtype).transpose(0, 2, 1, 3).reshape(b, lq, -1)
