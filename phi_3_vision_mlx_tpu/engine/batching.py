@@ -242,7 +242,7 @@ def _decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
 def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
                        n_passes: int, k_draft: int, eos_id: int = 0,
                        temps=None, top_ps=None, top_ks=None, min_ps=None,
-                       key=None):
+                       key=None, spec_ok=None):
     """``n_passes`` speculative verify passes for every slot in ONE dispatch.
 
     Per pass each slot proposes K draft tokens from its token history
@@ -256,9 +256,21 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     (``temps`` vectors set) use rejection-sampled verification and are
     distribution-exact (engine/speculative.py:verify_mixed_rows).
 
-    Slots whose window cannot absorb a worst-case pass go dead (``n_emit``
-    0, no writes — the host finalizes them as window-full).  Returns
-    (tokens (n, S, K+1), maxlp, eoslp, n_emits (n, S), new state).
+    ``spec_ok``: optional device (S,) bool — the UNIFORM-dispatch mode.
+    Rows with ``spec_ok`` False (or whose window cannot absorb a worst-case
+    pass) run this pass as a PADDED VANILLA step: the forward keeps the
+    (S, K+1) shape but acceptance is forced to zero, so exactly one token
+    commits (greedy rows emit the row-0 argmax — the same value the
+    (S, K+1)-shaped vanilla step would emit; sampled rows draw a plain
+    filtered sample from the row-0 logits).  Because every dispatch then
+    shares one compiled shape, greedy streams are bit-identical across
+    spec-on/spec-off/window-tail regimes even where XLA's fp tiling is
+    shape-dependent (the slot-engine analog of the single-stream 8-row
+    pad).  With ``spec_ok=None`` (legacy mode) slots whose window cannot
+    absorb a worst-case pass go dead (``n_emit`` 0, no writes — the host
+    finalizes them as window-full or tails through lq=1 vanilla chunks).
+
+    Returns (tokens (n, S, K+1), maxlp, eoslp, n_emits (n, S), new state).
     """
     from .speculative import propose_drafts
 
@@ -271,18 +283,31 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
     quantized = cfg.use_quantized_cache
     kk1 = k_draft + 1
     ar = jnp.arange(kk1)
+    uniform = spec_ok is not None
 
     if key is None:
         key = jax.random.PRNGKey(0)
 
     def one_pass(carry, _):
         tok, offsets, valid, kv_k, kv_v, buf, k_it = carry
-        live = active & (offsets + kk1 <= w)
+        if uniform:
+            # Uniform mode: a slot stays live until its window is truly
+            # full; rows without room for a full pass (or opted out) fall
+            # back to forced-reject (1 token/pass) within the same dispatch.
+            live = active & (offsets + 1 <= w)
+            can_spec = live & spec_ok & (offsets + kk1 <= w)
+        else:
+            live = active & (offsets + kk1 <= w)
+            can_spec = live
         draft = propose_drafts(buf, valid, tok[:, None], offsets, k_draft)
         ids = jnp.concatenate([tok[:, None], draft], axis=1)  # (S, kk1)
         wpos = offsets[:, None] + ar[None, :]  # cache column per query
         # dead slots write nowhere: clamp to an OOB column + mode="drop"
-        wpos_safe = jnp.where(live[:, None], wpos, w)
+        if uniform:
+            # per-element clamp: live tail slots write the in-window prefix
+            wpos_safe = jnp.where(live[:, None] & (wpos < w), wpos, w)
+        else:
+            wpos_safe = jnp.where(live[:, None], wpos, w)
         buf = buf.at[slot_ids[:, None], wpos_safe].set(ids, mode="drop")
         x = embedding(mdl["embed_tokens"], ids).astype(jnp.dtype(cfg.dtype))
 
@@ -370,6 +395,24 @@ def _spec_decode_chunk(params, cfg: ModelConfig, st: SlotState, active,
             out, acc = verify_mixed_rows(
                 lg, draft, k_use, temps, top_ps, top_ks, min_ps
             )
+        if uniform:
+            # Forced-reject rows commit exactly one token: greedy rows'
+            # out[:, 0] is already the row-0 argmax (the padded vanilla
+            # token); sampled rows need a PLAIN filtered sample from the
+            # row-0 logits (verify_mixed_rows' rejection residual masks the
+            # draft token out, which is not vanilla sampling).
+            acc = jnp.where(can_spec, acc, 0)
+            if temps is not None:
+                from .engine import sample_token_rows
+
+                k_it, k_van = jax.random.split(k_it)
+                van = sample_token_rows(
+                    lg[:, 0], k_van, temps, top_ps, top_ks=top_ks,
+                    min_ps=min_ps,
+                )
+                out = out.at[:, 0].set(
+                    jnp.where(can_spec | (temps <= 0), out[:, 0], van)
+                )
         n_emit = jnp.where(live, acc + 1, 0)
 
         new_valid = valid | (
@@ -552,7 +595,8 @@ class BatchEngine:
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
                  seed: int = 0, spec_k: int = 0, pipeline_depth: int = 1,
-                 async_admission: bool = True):
+                 async_admission: bool = True, spec_accept: bool = True,
+                 spec_uniform: Optional[bool] = None):
         from .engine import LM  # noqa: F401  (type only)
 
         import os
@@ -579,9 +623,26 @@ class BatchEngine:
         # chunk with any sampling request falls back to the vanilla step).
         self.spec_k = spec_k
         self.spec_stats = {"passes": 0, "emitted": 0}
+        # Uniform spec dispatch (default with spec_k > 0): every chunk is an
+        # (S, K+1)-shaped verify pass; window-tail slots run forced-reject
+        # rows (1 token/pass) INSIDE the same dispatch instead of dragging
+        # the whole engine to lq=1 vanilla chunks — one compiled shape per
+        # run keeps greedy streams bit-reproducible on TPU even where XLA's
+        # fp tiling is shape-dependent (see _spec_decode_chunk docstring).
+        # PHI3V_TPU_SPEC_UNIFORM=0 restores the legacy tail-switch path.
+        if spec_uniform is None:
+            spec_uniform = bool(int(os.environ.get(
+                "PHI3V_TPU_SPEC_UNIFORM", "1")))
+        self.spec_uniform = bool(spec_uniform) and spec_k > 0
+        # spec_accept=False: every row is forced-reject — a padded-vanilla
+        # baseline engine that commits exactly one token per pass through
+        # the SAME compiled fn the accepting engine runs (the bit-exactness
+        # reference for tests/benchmarks; see paging.py exactness note).
+        self.spec_accept = bool(spec_accept)
         # Slots whose window is too tight for a worst-case verify pass;
         # while any is active the engine steps vanilla so their tails emit
         # exactly the non-speculative stream (they leave the set when freed).
+        # (Legacy mode only — uniform dispatch handles tails on device.)
         self._tail_slots: set = set()
         self.state = self._init_state()
         self.free: List[int] = list(range(slots))
@@ -919,7 +980,8 @@ class BatchEngine:
             return None
         temps, tops, topks, minps = self._sampling_vectors()
         self._tail_slots &= set(self.by_slot)
-        use_spec = bool(self.spec_k and not self._tail_slots)
+        use_spec = bool(self.spec_k
+                        and (self.spec_uniform or not self._tail_slots))
         if not self._reserve(n_steps, use_spec):
             return None
         if use_spec:
@@ -1085,16 +1147,20 @@ class BatchEngine:
         remaining tokens still arrive through collect() (which skips the
         slot bookkeeping when the slot has moved on).
 
-        Spec chunks are excluded from the scheduled count: a tail slot can
-        emit ZERO tokens from a verify pass (window too tight for a
-        worst-case pass), so ``n_steps`` passes bound emissions only for
-        plain chunks.  EOS / stop strings / early_stop can only finish a
-        request EARLIER than the projected bound, which is fine — the slot
-        is free either way by the time the projection's chunks drain.
+        LEGACY spec chunks are excluded from the scheduled count: a tail
+        slot can emit ZERO tokens from a verify pass (window too tight for
+        a worst-case pass), so ``n_steps`` passes bound emissions only for
+        plain chunks.  UNIFORM spec chunks count: forced-reject rows keep
+        every live slot emitting >= 1 token per pass until a finish bound
+        trips, so ``n_passes`` is a valid lower bound on emissions too.
+        EOS / stop strings / early_stop can only finish a request EARLIER
+        than the projected bound, which is fine — the slot is free either
+        way by the time the projection's chunks drain.
         """
         scheduled: Dict[int, int] = {}
         for h in self._inflight:
-            if h.kind != "plain":
+            if h.kind != "plain" and not (h.kind == "spec"
+                                          and self.spec_uniform):
                 continue
             for slot, rid in h.slot_rids.items():
                 if self.by_slot.get(slot) is self.requests[rid]:
@@ -1114,12 +1180,14 @@ class BatchEngine:
 
     def _spec_fn(self, n_passes: int, sampling: bool):
         """Compiled speculative chunk (subclasses swap the state/step impl)."""
-        fkey = ("spec", n_passes, self.spec_k, sampling)
+        uniform = self.spec_uniform
+        fkey = ("spec", n_passes, self.spec_k, sampling, uniform)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
 
             def f(params, tree, active, temps, tops, topks, minps, key,
-                  _n=n_passes, _k=self.spec_k, _s=sampling):
+                  spec_ok, _n=n_passes, _k=self.spec_k, _s=sampling,
+                  _u=uniform):
                 toks, maxlp, eoslp, n_emits, st = _spec_decode_chunk(
                     params, cfg, SlotState.from_tree(tree), active, _n, _k,
                     eos_id=eos_id,
@@ -1127,6 +1195,7 @@ class BatchEngine:
                     top_ps=tops if _s else None,
                     top_ks=topks if _s else None,
                     min_ps=minps if _s else None, key=key,
+                    spec_ok=spec_ok if _u else None,
                 )
                 return toks, maxlp, eoslp, n_emits, st.tree()
 
@@ -1143,6 +1212,7 @@ class BatchEngine:
             active[slot] = True
         seed = self._seed_snapshot()
         self._chunk_i += 1
+        spec_ok = jnp.full((self.slots,), self.spec_accept, bool)
         toks, maxlp, eoslp, n_emits, tree = fn(
             self.lm.params, self.state.tree(), jnp.asarray(active),
             temps if sampling else jnp.zeros((self.slots,), jnp.float32),
@@ -1150,6 +1220,7 @@ class BatchEngine:
             topks if sampling else jnp.zeros((self.slots,), jnp.int32),
             minps if sampling else jnp.zeros((self.slots,), jnp.float32),
             jax.random.fold_in(self._base_key, self._chunk_i),
+            spec_ok,
         )
         self.state = type(self.state).from_tree(tree)
         return _ChunkHandle(
@@ -1183,6 +1254,10 @@ class BatchEngine:
                     tok = int(toks[i, slot, p])
                     req.tokens.append(tok)
                     emitted.append(tok)
+                    hit_window = (
+                        req.l_pad + len(req.tokens) - req.adopted_at + 1
+                        >= self.window - 1
+                    )
                     early = req.stopper is not None and req.stopper.update(
                         float(maxlp[i, slot, p]), float(eoslp[i, slot, p]), 1
                     )
@@ -1190,6 +1265,7 @@ class BatchEngine:
                         early
                         or tok == self.lm.eos_id
                         or len(req.tokens) >= req.max_tokens
+                        or hit_window
                         or self._stop_hit(req)
                     ):
                         done = True
@@ -1203,12 +1279,24 @@ class BatchEngine:
                     self.free.append(slot)
                     self._on_slot_freed(slot)
             elif not any_emitted:
-                # A live slot always emits >= 1 token per pass, so a
-                # zero-token chunk means the window cannot absorb another
-                # worst-case pass: decode this slot's tail through the
-                # vanilla step so its stream stays bit-identical (step()
-                # switches paths while any tail slot is active).
-                self._tail_slots.add(slot)
+                if self.spec_uniform:
+                    # Uniform dispatch keeps tail slots live until the
+                    # window is TRULY full (forced-reject rows emit one
+                    # token per pass) — zero emissions means no columns
+                    # left: finalize as window-full.
+                    req.done = True
+                    if self.by_slot.get(slot) is req:
+                        del self.by_slot[slot]
+                        self.free.append(slot)
+                        self._on_slot_freed(slot)
+                else:
+                    # A live slot always emits >= 1 token per pass, so a
+                    # zero-token chunk means the window cannot absorb
+                    # another worst-case pass: decode this slot's tail
+                    # through the vanilla step so its stream stays
+                    # bit-identical (step() switches paths while any tail
+                    # slot is active).
+                    self._tail_slots.add(slot)
         return out
 
     def _on_slot_freed(self, slot: int) -> None:

@@ -592,8 +592,12 @@ class PagedBatchEngine(BatchEngine):
         self._free_pages: List[int] = list(range(self.pool_pages))
         self._slot_pages: Dict[int, List[int]] = {}
         self.preempted: List[int] = []  # rids awaiting recompute resume
+        # Uniform spec dispatch is a BatchEngine feature for now: the paged
+        # pass pre-maps worst-case page growth per pass, which the
+        # forced-reject tail mode would inflate for every tail slot.
         super().__init__(lm, processor, slots=slots, window=window, seed=seed,
-                         spec_k=spec_k, pipeline_depth=pipeline_depth)
+                         spec_k=spec_k, pipeline_depth=pipeline_depth,
+                         spec_uniform=False)
 
     def _init_state(self):
         return _init_paged(
@@ -806,7 +810,8 @@ class PagedBatchEngine(BatchEngine):
             page = self.page_size
 
             def f(params, tree, active, temps, tops, topks, minps, key,
-                  _n=n_passes, _k=self.spec_k, _s=sampling):
+                  spec_ok=None, _n=n_passes, _k=self.spec_k, _s=sampling):
+                del spec_ok  # uniform dispatch not implemented for paged
                 toks, maxlp, eoslp, n_emits, st = _paged_spec_decode_chunk(
                     params, cfg, PagedState.from_tree(tree), active, page, _n,
                     _k, eos_id=eos_id,

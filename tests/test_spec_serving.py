@@ -184,3 +184,61 @@ def test_spec_acceptance_tiny_vocab():
     assert spec == base
     st = eng.spec_stats
     assert st["emitted"] / max(st["passes"], 1) > 1.2, st
+
+
+def test_spec_forced_reject_matches_vanilla(lmproc):
+    """``spec_accept=False`` turns every pass into a padded vanilla step
+    (one token per pass through the SAME compiled fn the accepting engine
+    runs) — the bit-exactness baseline for the uniform-dispatch mode."""
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=2, window=128), PROMPTS[:2])
+    eng = BatchEngine(lm, proc, slots=2, window=128, spec_k=7,
+                      spec_accept=False)
+    forced = _run(eng, PROMPTS[:2])
+    assert forced == base
+    st = eng.spec_stats
+    assert st["passes"] > 0 and st["emitted"] == st["passes"]
+
+
+def test_spec_window_tail_legacy_mode(lmproc):
+    """spec_uniform=False: the legacy tail-switch path (whole engine drops
+    to lq=1 vanilla chunks when a slot's window gets too tight)."""
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=1, window=128), [PROMPTS[0]],
+                max_tokens=80)
+    eng = BatchEngine(lm, proc, slots=1, window=128, spec_k=7,
+                      spec_uniform=False)
+    [spec] = _run(eng, [PROMPTS[0]], max_tokens=80)
+    assert spec == base[0]
+    assert eng.free == [0]
+
+
+def test_spec_uniform_tail_stays_speculative(lmproc):
+    """Uniform mode: window-tail slots decode through forced-reject rows
+    inside spec dispatches — _tail_slots never populates and the stream
+    still matches vanilla bit-for-bit."""
+    lm, proc = lmproc
+    base = _run(BatchEngine(lm, proc, slots=1, window=128), [PROMPTS[0]],
+                max_tokens=80)
+    eng = BatchEngine(lm, proc, slots=1, window=128, spec_k=7,
+                      spec_uniform=True)
+    [spec] = _run(eng, [PROMPTS[0]], max_tokens=80)
+    assert spec == base[0]
+    assert eng.free == [0]
+    assert not eng._tail_slots
+
+
+def test_spec_forced_reject_sampled_rows(lmproc):
+    """Forced-reject sampling rows draw a plain filtered sample from the
+    row-0 logits (vanilla semantics, not the rejection residual)."""
+    lm, proc = lmproc
+    eng = BatchEngine(lm, proc, slots=2, window=128, spec_k=5,
+                      spec_accept=False, seed=11)
+    rg = eng.submit(PROMPTS[0], max_tokens=10)
+    rs = eng.submit(PROMPTS[1], max_tokens=10, temperature=0.9, top_p=0.9)
+    for _ in range(200):
+        if not eng.pending():
+            break
+        eng.step(2)
+    assert not eng.pending()
+    assert len(eng.tokens(rg)) == 10 and len(eng.tokens(rs)) == 10
