@@ -289,13 +289,23 @@ def _paged_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
 def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
                              page: int, n_passes: int, k_draft: int,
                              eos_id: int = 0, temps=None, top_ps=None,
-                             top_ks=None, min_ps=None, key=None):
+                             top_ks=None, min_ps=None, key=None,
+                             spec_ok=None):
     """``n_passes`` speculative verify passes over the paged pool — the
     paged counterpart of batching._spec_decode_chunk.  The host pre-maps
     every page a worst-case chunk can touch (n_passes * (K+1) columns per
     slot, PagedBatchEngine.step), so multi-column writes are table lookups;
     the paged Pallas kernels' fresh-region mask exposes the pass's earlier
     draft columns causally (ops/kernels/kv_attention.py).
+
+    ``spec_ok``: optional device (S,) bool — UNIFORM-dispatch mode, same
+    semantics as batching._spec_decode_chunk: rows with ``spec_ok`` False
+    or no window room for a worst-case pass run as padded vanilla steps
+    (forced-reject, one committed token) inside the same (S, K+1) dispatch,
+    writing only in-window columns (worst-case reservation already mapped
+    every in-window page).  One compiled shape per run keeps greedy streams
+    bit-reproducible on TPU; ``spec_ok=None`` is the legacy tail-switch
+    behavior.
 
     Exactness note (applies to both slot engines): emitted tokens are always
     the model's own greedy argmax over the cache it wrote (acceptance
@@ -306,7 +316,9 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
     differences can flip int4 quantization boundaries, so the spec stream
     may drift from vanilla's at argmax near-ties — the same noise class as
     cache quantization itself.  (Single-stream speculation pads both paths
-    to the same 8-row tile and stays bit-exact.)"""
+    to the same 8-row tile and stays bit-exact; uniform dispatch extends
+    the same idea to the slot engines — see
+    experiments/spec_serving_exact_check.py for the on-chip check.)"""
     from .speculative import propose_drafts
 
     mdl = params["model"]
@@ -318,6 +330,7 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
     slot_ids = jnp.arange(s)
     scale = cfg.head_dim**-0.5
     quantized = cfg.use_quantized_cache
+    uniform = spec_ok is not None
     kk1 = k_draft + 1
     ar = jnp.arange(kk1)
     gather_pt = jnp.minimum(st.page_tables, pool_pages - 1)  # (S, mp)
@@ -327,12 +340,18 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
 
     def one_pass(carry, _):
         tok, offsets, valid, pk, pv, buf, k_it = carry
-        live = active & (offsets + kk1 <= w)
+        if uniform:
+            live = active & (offsets + 1 <= w)
+            can_spec = live & spec_ok & (offsets + kk1 <= w)
+        else:
+            live = active & (offsets + kk1 <= w)
+            can_spec = live
         draft = propose_drafts(buf, valid, tok[:, None], offsets, k_draft)
         ids = jnp.concatenate([tok[:, None], draft], axis=1)  # (S, kk1)
         wpos = offsets[:, None] + ar[None, :]  # (S, kk1) cache columns
+        wr_ok = (live[:, None] & (wpos < w)) if uniform else live[:, None]
         buf = buf.at[
-            slot_ids[:, None], jnp.where(live[:, None], wpos, w)
+            slot_ids[:, None], jnp.where(wr_ok, wpos, w)
         ].set(ids, mode="drop")
         x = embedding(mdl["embed_tokens"], ids).astype(jnp.dtype(cfg.dtype))
 
@@ -356,7 +375,7 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
         wpage = jnp.take_along_axis(
             st.page_tables, jnp.minimum(wpos // page, mp - 1), 1
         )  # (S, kk1)
-        wpid = jnp.where(live[:, None], wpage, pool_pages)  # sentinel drop
+        wpid = jnp.where(wr_ok, wpage, pool_pages)  # sentinel drop
         wcol = wpos % page
 
         def body(carry, xs):
@@ -467,6 +486,21 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
             out, acc = verify_mixed_rows(
                 lg, draft, k_use, temps, top_ps, top_ks, min_ps
             )
+        if uniform:
+            # Forced-reject rows commit one token (see
+            # batching._spec_decode_chunk for the sampled-row rationale).
+            acc = jnp.where(can_spec, acc, 0)
+            if temps is not None:
+                from .engine import sample_token_rows
+
+                k_it, k_van = jax.random.split(k_it)
+                van = sample_token_rows(
+                    lg[:, 0], k_van, temps, top_ps, top_ks=top_ks,
+                    min_ps=min_ps,
+                )
+                out = out.at[:, 0].set(
+                    jnp.where(can_spec | (temps <= 0), out[:, 0], van)
+                )
         n_emit = jnp.where(live, acc + 1, 0)
 
         new_valid = valid | (
@@ -582,7 +616,8 @@ class PagedBatchEngine(BatchEngine):
 
     def __init__(self, lm, processor, slots: int = 4, window: int = 1024,
                  page_size: int = 64, pool_pages: int = 0, seed: int = 0,
-                 spec_k: int = 0, pipeline_depth: int = 1):
+                 spec_k: int = 0, pipeline_depth: int = 1,
+                 spec_accept: bool = True, spec_uniform=None):
         if 64 % page_size and page_size % 64:
             raise ValueError("page_size must divide or be a multiple of 64")
         if window % page_size:
@@ -592,12 +627,9 @@ class PagedBatchEngine(BatchEngine):
         self._free_pages: List[int] = list(range(self.pool_pages))
         self._slot_pages: Dict[int, List[int]] = {}
         self.preempted: List[int] = []  # rids awaiting recompute resume
-        # Uniform spec dispatch is a BatchEngine feature for now: the paged
-        # pass pre-maps worst-case page growth per pass, which the
-        # forced-reject tail mode would inflate for every tail slot.
         super().__init__(lm, processor, slots=slots, window=window, seed=seed,
                          spec_k=spec_k, pipeline_depth=pipeline_depth,
-                         spec_uniform=False)
+                         spec_accept=spec_accept, spec_uniform=spec_uniform)
 
     def _init_state(self):
         return _init_paged(
@@ -804,14 +836,15 @@ class PagedBatchEngine(BatchEngine):
         return last // self.page_size + 1
 
     def _spec_fn(self, n_passes: int, sampling: bool):
-        fkey = ("spec", n_passes, self.spec_k, sampling)
+        uniform = self.spec_uniform
+        fkey = ("spec", n_passes, self.spec_k, sampling, uniform)
         if fkey not in self._step_fns:
             cfg, eos_id = self.lm.cfg, self.lm.eos_id
             page = self.page_size
 
             def f(params, tree, active, temps, tops, topks, minps, key,
-                  spec_ok=None, _n=n_passes, _k=self.spec_k, _s=sampling):
-                del spec_ok  # uniform dispatch not implemented for paged
+                  spec_ok, _n=n_passes, _k=self.spec_k, _s=sampling,
+                  _u=uniform):
                 toks, maxlp, eoslp, n_emits, st = _paged_spec_decode_chunk(
                     params, cfg, PagedState.from_tree(tree), active, page, _n,
                     _k, eos_id=eos_id,
@@ -819,6 +852,7 @@ class PagedBatchEngine(BatchEngine):
                     top_ps=tops if _s else None,
                     top_ks=topks if _s else None,
                     min_ps=minps if _s else None, key=key,
+                    spec_ok=spec_ok if _u else None,
                 )
                 return toks, maxlp, eoslp, n_emits, st.tree()
 

@@ -242,3 +242,27 @@ def test_spec_forced_reject_sampled_rows(lmproc):
         eng.step(2)
     assert not eng.pending()
     assert len(eng.tokens(rg)) == 10 and len(eng.tokens(rs)) == 10
+
+
+def test_spec_paged_uniform_tail_and_forced(lmproc):
+    """Paged uniform dispatch: window-tail slots decode through
+    forced-reject rows; spec_accept=False is the padded-vanilla baseline."""
+    from phi_3_vision_mlx_tpu.engine.paging import PagedBatchEngine
+
+    lm, proc = lmproc
+    base = _run(PagedBatchEngine(lm, proc, slots=1, window=128,
+                                 page_size=32), [PROMPTS[0]], max_tokens=80)
+    eng = PagedBatchEngine(lm, proc, slots=1, window=128, page_size=32,
+                           spec_k=7, spec_uniform=True)
+    [spec] = _run(eng, [PROMPTS[0]], max_tokens=80)
+    assert spec == base[0]
+    assert not eng._tail_slots
+    assert len(eng._free_pages) == eng.pool_pages
+
+    forced = _run(
+        PagedBatchEngine(lm, proc, slots=2, window=128, page_size=32,
+                         spec_k=7, spec_accept=False), PROMPTS[:2]
+    )
+    base2 = _run(PagedBatchEngine(lm, proc, slots=2, window=128,
+                                  page_size=32), PROMPTS[:2])
+    assert forced == base2
