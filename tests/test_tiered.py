@@ -139,21 +139,23 @@ def test_tiered_consolidate_matches(lm, eng):
     dict_input = {"input_ids": ids}
     ref_toks, ref_logs = _standard_reference(lm, dict_input, 3)
 
-    logits, state = eng.prefill(dict_input)
-    assert len(state.cold_k) == 4
-    state = eng.consolidate(state, 2)
-    assert len(state.cold_k) == 2 and state.C == 256
-    assert state.cold_k[0].shape[-1] == 2 * PC
-    assert state.cold_k[0].sharding.memory_kind == "pinned_host"
-    tok = int(np.argmax(logits[0]))
-    toks = [tok]
-    for i in range(3):
-        logits, state = eng.decode_step(state, np.array([[tok]], np.int32))
-        logits = np.asarray(jax.device_get(logits), np.float32)
-        np.testing.assert_allclose(logits, ref_logs[i + 1], rtol=3e-3, atol=3e-3)
+    for group in (2, 4):  # 4 also covers repeated/deep merges (g4 = one
+        logits, state = eng.prefill(dict_input)  # jfn over all 4 chunks)
+        assert len(state.cold_k) == 4
+        state = eng.consolidate(state, group)
+        assert len(state.cold_k) == 4 // group and state.C == 256
+        assert state.cold_k[0].shape[-1] == group * PC
+        assert state.cold_k[0].sharding.memory_kind == "pinned_host"
         tok = int(np.argmax(logits[0]))
-        toks.append(tok)
-    assert toks == ref_toks
+        toks = [tok]
+        for i in range(3):
+            logits, state = eng.decode_step(state, np.array([[tok]], np.int32))
+            logits = np.asarray(jax.device_get(logits), np.float32)
+            np.testing.assert_allclose(logits, ref_logs[i + 1], rtol=3e-3,
+                                       atol=3e-3)
+            tok = int(np.argmax(logits[0]))
+            toks.append(tok)
+        assert toks == ref_toks
 
 
 def test_tiered_chunked_decode_matches_per_step(lm, eng):
