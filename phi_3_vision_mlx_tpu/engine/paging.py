@@ -317,8 +317,19 @@ def _paged_spec_decode_chunk(params, cfg: ModelConfig, st: PagedState, active,
     may drift from vanilla's at argmax near-ties — the same noise class as
     cache quantization itself.  (Single-stream speculation pads both paths
     to the same 8-row tile and stays bit-exact; uniform dispatch extends
-    the same idea to the slot engines — see
-    experiments/spec_serving_exact_check.py for the on-chip check.)"""
+    the same idea to the slot engines.)
+
+    Measured on-chip (experiments/spec_serving_exact_check.json, full model
+    size, int4 cache, 4 slots x 96 tokens): the accepting uniform-spec
+    engine and its padded-vanilla baseline (``spec_accept=False`` — one
+    committed token per pass through the IDENTICAL compiled (S, K+1) fn)
+    emit bit-identical greedy streams, i.e. in-pass accepted rows equal the
+    later row-0 recomputations.  The legacy lq=1 engine drifts from both at
+    near-ties (first diffs at tokens 1-19 on random weights), as documented
+    above.  Worst-case cost of the uniform shape — zero acceptance, so every
+    pass commits 1 token through the padded dispatch — is 0.68x the legacy
+    lq=1 rate; any realistic acceptance recovers it (2 tok/pass is already
+    1.35x)."""
     from .speculative import propose_drafts
 
     mdl = params["model"]
