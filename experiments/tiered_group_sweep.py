@@ -74,8 +74,9 @@ def main():
         tps, state, tok = measure(eng_kb, state, tok)
         results[f"group{group_total}_kb{kb}_tps"] = round(tps, 3)
         print(json.dumps(results))
+    name = f"tiered_group_sweep_{WINDOW // 1024}k.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "tiered_group_sweep.json"), "w") as f:
+                           name), "w") as f:
         json.dump(results, f, indent=2)
 
 
