@@ -447,34 +447,61 @@ def _tiered_spec_tps(window: int, max_tokens: int = 128, k_draft: int = 7,
     buf_w = init_token_buffer(ids_p, state.window)
     eng.spec_decode(state, tok, buf_w, max_tokens=2, k_draft=k_draft,
                     n_iters=n_iters)
-    buf = init_token_buffer(ids_p, state.window)
-    t0 = time.time()
-    out, state = eng.spec_decode(state, tok, buf, max_tokens,
-                                 k_draft=k_draft, n_iters=n_iters)
-    dt = time.time() - t0
-    return (len(out) - 1) / dt, prefill_s, len(state.cold_k), len(out) - 1
+    # Best of 3 timed windows, same rationale as _tiered_tps: tunnel
+    # contention only ever slows a rep, so max is the machine number.
+    reps, n_out = [], 0
+    for _ in range(3):
+        buf = init_token_buffer(ids_p, state.window)
+        t0 = time.time()
+        out, state = eng.spec_decode(state, tok, buf, max_tokens,
+                                     k_draft=k_draft, n_iters=n_iters)
+        dt = time.time() - t0
+        n_out = len(out) - 1
+        reps.append(n_out / dt)
+    return (max(reps), prefill_s, len(state.cold_k), n_out,
+            [round(r, 3) for r in reps])
+
+
+def _mid_tokens_per_pass():
+    """Measured mid-envelope tokens/pass from the spec_mid row, if present."""
+    if os.path.exists("BENCH_EXTRA.json"):
+        for m in json.load(open("BENCH_EXTRA.json"))["measurements"]:
+            if m["metric"] == "spec_mid_envelope_tokens_per_pass":
+                return m["value"]
+    return None
 
 
 def tiered_spec64k():
-    tps, prefill_s, nc, n = _tiered_spec_tps(65536)
+    tps, prefill_s, nc, n, reps = _tiered_spec_tps(65536)
+    mid = _mid_tokens_per_pass()
     return {"metric": "decode_tps_tiered_64k_spec_ceiling",
-            "value": round(tps, 3), "unit": "tok/s",
+            "value": round(tps, 3), "unit": "tok/s", "reps": reps,
             "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
             "tokens": n, "spec_k": 7,
+            "pass_rate_per_s": round(tps / 8, 3),
+            **({"projected_mid_tps": round(mid * tps / 8, 3),
+                "mid_tokens_per_pass": mid} if mid else {}),
             "note": "prompt-lookup speculation over the tiered cache: K+1 "
                     "tokens share one cold-tier PCIe stream; ceiling = all "
                     "drafts accept (constant-argmax head); floor = the "
-                    "tiered64k row; greedy-exact (tests/test_tiered.py)"}
+                    "tiered64k row; greedy-exact (tests/test_tiered.py); "
+                    "projected_mid_tps = spec_mid tokens/pass x the "
+                    "acceptance-independent pass rate (value/8)"}
 
 
 def tiered_spec128k():
-    tps, prefill_s, nc, n = _tiered_spec_tps(131072, max_tokens=96)
+    tps, prefill_s, nc, n, reps = _tiered_spec_tps(131072, max_tokens=96)
+    mid = _mid_tokens_per_pass()
     return {"metric": "decode_tps_tiered_128k_spec_ceiling",
-            "value": round(tps, 3), "unit": "tok/s",
+            "value": round(tps, 3), "unit": "tok/s", "reps": reps,
             "prefill_s": round(prefill_s, 1), "cold_chunks": nc,
             "tokens": n, "spec_k": 7,
+            "pass_rate_per_s": round(tps / 8, 3),
+            **({"projected_mid_tps": round(mid * tps / 8, 3),
+                "mid_tokens_per_pass": mid} if mid else {}),
             "note": "the 128K single-chip window with speculative "
-                    "verification amortizing the PCIe stream"}
+                    "verification amortizing the PCIe stream; "
+                    "projected_mid_tps = spec_mid tokens/pass x pass rate"}
 
 
 def spec():
